@@ -1,0 +1,16 @@
+"""Functional API: few-bit activations, sketched linear layers, gradient taps.
+
+Mirrors the reference surface ``/root/reference/fewbit/functional/__init__.py``.
+"""
+
+# Piecewise (1-bit) activation functions.
+from fewbit_tpu.functional.activations import (  # noqa: F401
+    hardshrink, hardsigmoid, hardtanh, leaky_relu, relu, relu6, softshrink,
+    stepwise, threshold)
+
+# Continuous (multi-bit) activation functions.
+from fewbit_tpu.functional.activations import (  # noqa: F401
+    celu, elu, gelu, hardswish, logsigmoid, mish, selu, sigmoid, silu,
+    softplus, softsign, tanh, tanhshrink)
+
+from fewbit_tpu.functional.activations import store  # noqa: F401
