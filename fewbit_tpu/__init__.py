@@ -20,5 +20,9 @@ with the capabilities of the reference CUDA/PyTorch library (skolai/fewbit):
 from fewbit_tpu import functional  # noqa: F401
 from fewbit_tpu.approx import Stepwise, approximate, dp_quantize  # noqa: F401
 from fewbit_tpu.lut import StepwiseStore, store  # noqa: F401
+from fewbit_tpu.modules import *  # noqa: F401,F403
+from fewbit_tpu.util import (  # noqa: F401
+    convert_linear, estimate_memory_usage, map_module, memory_delta_bytes,
+    peak_memory_bytes, residual_shapes)
 
 __version__ = "0.1.0"

@@ -14,3 +14,12 @@ from fewbit_tpu.functional.activations import (  # noqa: F401
     softplus, softsign, tanh, tanhshrink)
 
 from fewbit_tpu.functional.activations import store  # noqa: F401
+
+# Linear layers with sketched weight gradients.
+from fewbit_tpu.functional.linear import (  # noqa: F401
+    calc_proj_dim, linear, linear_crs, linear_grp, linear_randomized)
+
+# Gradient capture and variance estimation.
+from fewbit_tpu.functional.variance import (  # noqa: F401
+    GradientStorage, catch_gradients, estimate_correlation,
+    estimate_variance_rmm, estimate_variance_sgd)

@@ -257,7 +257,80 @@ def stepwise(x: jax.Array,
 
 # ---------------------------------------------------------------------------
 # Continuous family: exact forward, LUT-quantised derivative.
+#
+# Each function may carry a second, kernel-safe forward (``*_kfwd``) built
+# only from primitives the Mosaic TPU compiler lowers (exp/log/tanh/
+# logistic/...): lax.erfc and log1p have no Pallas lowering, so GELU uses a
+# |eps| <= 1.5e-7 rational erf approximation (Abramowitz & Stegun 7.1.26)
+# and softplus the max/log/exp decomposition inside kernels, while the
+# non-kernel path keeps the libm-exact jax.nn forms.
 # ---------------------------------------------------------------------------
+
+
+_SQRT_HALF = 0.7071067811865476
+
+
+def _erf_poly(z: jax.Array) -> jax.Array:
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    az = jnp.abs(z)
+    t = 1.0 / (1.0 + p * az)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    y = 1.0 - poly * jnp.exp(-az * az)
+    return jnp.where(z >= 0, y, -y)
+
+
+def _softplus_safe(x: jax.Array) -> jax.Array:
+    return jnp.maximum(x, 0.0) + jnp.log(1.0 + jnp.exp(-jnp.abs(x)))
+
+
+def _expm1f(x: jax.Array) -> jax.Array:
+    return jnp.exp(x) - 1.0
+
+
+def _gelu_kfwd(x, args):
+    xf = x.astype(jnp.float32)
+    return 0.5 * xf * (1.0 + _erf_poly(xf * _SQRT_HALF))
+
+
+def _celu_kfwd(x, args):
+    (alpha,) = args
+    xf = x.astype(jnp.float32)
+    return jnp.where(xf > 0, xf,
+                     alpha * _expm1f(jnp.minimum(xf, 0.0) / alpha))
+
+
+def _elu_kfwd(x, args):
+    (alpha,) = args
+    xf = x.astype(jnp.float32)
+    return jnp.where(xf > 0, xf, alpha * _expm1f(jnp.minimum(xf, 0.0)))
+
+
+_SELU_ALPHA = 1.6732632423543772
+_SELU_SCALE = 1.0507009873554805
+
+
+def _selu_kfwd(x, args):
+    xf = x.astype(jnp.float32)
+    return _SELU_SCALE * jnp.where(
+        xf > 0, xf, _SELU_ALPHA * _expm1f(jnp.minimum(xf, 0.0)))
+
+
+def _logsigmoid_kfwd(x, args):
+    return -_softplus_safe(-x.astype(jnp.float32))
+
+
+def _mish_kfwd(x, args):
+    xf = x.astype(jnp.float32)
+    return xf * jnp.tanh(_softplus_safe(xf))
+
+
+def _softplus_kfwd(x, args):
+    beta, thresh = args
+    xf = x.astype(jnp.float32)
+    scaled = xf * beta
+    return jnp.where(scaled > thresh, xf, _softplus_safe(scaled) / beta)
 
 
 def _resolve_lut(name: str, bits: Optional[int], borders, values):
@@ -285,10 +358,22 @@ def _resolve_lut(name: str, bits: Optional[int], borders, values):
     return jnp.asarray(b), jnp.asarray(v), nbits
 
 
+_KERNEL_FWD = {
+    "gelu": _gelu_kfwd,
+    "celu": _celu_kfwd,
+    "elu": _elu_kfwd,
+    "selu": _selu_kfwd,
+    "logsigmoid": _logsigmoid_kfwd,
+    "mish": _mish_kfwd,
+    "softplus": _softplus_kfwd,
+}
+
+
 def _continuous_call(name, fwd, x, args, bits, borders, values):
     b, v, nbits = _resolve_lut(name, bits, borders, values)
     spec = ActivationSpec(name=name, bits=nbits, fwd=fwd, codes=compare_codes,
-                          args=args, n_borders=int(b.shape[0]))
+                          args=args, n_borders=int(b.shape[0]),
+                          fwd_kernel=_KERNEL_FWD.get(name))
     return fewbit_activation(spec, x, b, v)
 
 

@@ -1,0 +1,235 @@
+"""Linear layers with memory-efficient sketched weight gradients.
+
+``linear_grp`` (Gaussian/structured Random Projection) computes the exact
+forward ``y = x @ W^T + b`` but its VJP saves only a random *sketch* of the
+input — a ``(proj_dim, in_features)`` projection along the flattened batch
+axis — instead of the full ``(batch*seq, in_features)`` activation.  The
+backward pass re-materialises the *same* projection of the output gradient
+and estimates ``grad_W = (P g)^T (P x) / normalisation``, which is unbiased
+because ``E[P^T P / c] = I``.
+
+TPU-idiomatic randomness: the shared forward/backward projection comes from
+an explicit ``jax.random`` key saved in the residual (a few bytes), replacing
+the reference's save-and-restore of a mutable ``torch.Generator`` state blob
+(``/root/reference/fewbit/functional/linear.py:100-105,158-160``).  Under
+``pjit``/``shard_map`` the key is folded with the shard index so every
+data-parallel shard draws an independent projection.
+
+Sketch types (reference parity: ``functional/linear.py:113-148``):
+
+* ``gaussian`` — dense N(0,1) projection, scaled ``1/k``;
+* ``rademacher`` — dense ±0.5 projection, scaled ``4/k``;
+* ``dct`` / ``dft`` — orthonormal transform along the batch axis + uniform
+  row subsampling with replacement, scaled ``N/k``.  (The reference scales
+  these by ``k*N``, which makes the estimator biased by ``k^2``; its test
+  suite only exercises the gaussian path, ``modules/linear_test.py:95-104``.
+  The ``N/k`` factor here is the unbiased one — verified by the Monte-Carlo
+  tests in ``tests/test_linear.py``.)
+
+``linear_crs`` implements column-row sampling: backward keeps ``nopairs``
+input *feature columns* sampled uniformly with replacement
+(reference: ``functional/linear.py:27-66``), with the static-shape JAX
+formulation (duplicates kept and scatter-added) replacing the dynamic
+``bincount``/``nonzero`` shapes that XLA cannot compile.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from fewbit_tpu.fft import dct
+
+__all__ = ("linear", "linear_crs", "linear_grp", "linear_randomized",
+           "calc_proj_dim")
+
+MATMUL_KINDS = ("gaussian", "rademacher", "dct", "dft")
+
+
+def calc_proj_dim(ndim: int,
+                  proj_dim_ratio: Optional[float] = None,
+                  proj_dim: Optional[int] = None,
+                  proj_dim_max: Optional[int] = None,
+                  proj_dim_min: Optional[int] = None) -> int:
+    """Resolve the sketch dimension from ratio/exact/min/max settings."""
+    if proj_dim:
+        result = proj_dim
+    elif proj_dim_ratio:
+        result = int(proj_dim_ratio * ndim)
+    else:
+        result = ndim
+    if proj_dim_min:
+        result = max(proj_dim_min, result)
+    if proj_dim_max:
+        result = min(proj_dim_max, result)
+    return max(result, 1)
+
+
+def linear(x: jax.Array, weight: jax.Array,
+           bias: Optional[jax.Array] = None) -> jax.Array:
+    """Exact ``x @ W^T + b`` with torch-style ``(out, in)`` weight."""
+    y = jnp.einsum("...i,oi->...o", x, weight)
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+@dataclasses.dataclass(frozen=True)
+class _GRPConfig:
+    proj_features: int
+    matmul: str
+    has_bias: bool
+
+
+def _int_zero_cot(a: jax.Array):
+    # Cotangent convention for integer-typed primal inputs (PRNG keys).
+    return np.zeros(a.shape, dtype=jax.dtypes.float0)
+
+
+def _sketch(cfg: _GRPConfig, key: jax.Array, mat: jax.Array,
+            normalise: bool) -> jax.Array:
+    """Project ``mat`` of shape (N, d) down to (k, d) along the batch axis.
+
+    ``normalise=True`` applies the unbiasedness factor (forward/input side);
+    the gradient side uses the raw projection so that the product of the two
+    carries the factor exactly once.
+    """
+    n = mat.shape[0]
+    k = cfg.proj_features
+    if cfg.matmul == "gaussian":
+        proj = jax.random.normal(key, (k, n), dtype=mat.dtype)
+        out = proj @ mat
+        return out / k if normalise else out
+    if cfg.matmul == "rademacher":
+        proj = jax.random.bernoulli(key, 0.5, (k, n)).astype(mat.dtype) - 0.5
+        out = proj @ mat
+        return out * (4.0 / k) if normalise else out
+    if cfg.matmul == "dct":
+        rows = jax.random.randint(key, (k,), 0, n)
+        transformed = dct(mat, type=2, axis=0, norm="ortho")
+        out = jnp.take(transformed, rows, axis=0)
+        return out * (n / k) if normalise else out
+    if cfg.matmul == "dft":
+        rows = jax.random.randint(key, (k,), 0, n)
+        if normalise:
+            transformed = jnp.fft.fft(mat, axis=0, norm="ortho")
+            return jnp.take(transformed, rows, axis=0) * (n / k)
+        # Gradient side: conjugate spectrum so that sum_r conj(Fg)_r (Fx)_r
+        # recovers g^T x by Parseval.
+        transformed = jnp.fft.ifft(mat, axis=0, norm="ortho")
+        return jnp.take(transformed, rows, axis=0)
+    raise ValueError(f"unknown matmul kind: {cfg.matmul!r}")
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _linear_grp(cfg: _GRPConfig, x, weight, bias, key):
+    return linear(x, weight, bias)
+
+
+def _linear_grp_fwd(cfg, x, weight, bias, key):
+    y = linear(x, weight, bias)
+    x2 = x.reshape(-1, x.shape[-1])
+    sketch = _sketch(cfg, key, x2, normalise=True)
+    return y, (sketch, weight, key)
+
+
+def _linear_grp_bwd(cfg, residual, g):
+    sketch, weight, key = residual
+    g2 = g.reshape(-1, g.shape[-1])
+    grad_x = (g2 @ weight).reshape(*g.shape[:-1], weight.shape[-1])
+    g_proj = _sketch(cfg, key, g2, normalise=False)
+    grad_w = g_proj.T @ sketch
+    if jnp.iscomplexobj(grad_w):
+        grad_w = jnp.real(grad_w)
+    grad_w = grad_w.astype(weight.dtype)
+    grad_b = g2.sum(axis=0) if cfg.has_bias else None
+    return grad_x.astype(g.dtype), grad_w, grad_b, _int_zero_cot(key)
+
+
+_linear_grp.defvjp(_linear_grp_fwd, _linear_grp_bwd)
+
+
+def linear_grp(x: jax.Array,
+               weight: jax.Array,
+               bias: Optional[jax.Array],
+               key: jax.Array,
+               proj_dim_ratio: Optional[float] = None,
+               proj_dim: Optional[int] = None,
+               proj_dim_max: Optional[int] = None,
+               proj_dim_min: Optional[int] = None,
+               matmul: str = "gaussian") -> jax.Array:
+    """Exact linear forward with a sketched weight-gradient backward.
+
+    :param x: input, shape ``(..., in_features)``.
+    :param weight: torch-convention weight, shape ``(out, in)``.
+    :param bias: optional ``(out,)`` bias.
+    :param key: ``jax.random`` key shared (via the residual) between the
+        forward sketch and the backward gradient projection.
+    """
+    if proj_dim_ratio is None and proj_dim is None:
+        raise ValueError("either proj_dim or proj_dim_ratio must be given")
+    if proj_dim_min is not None and proj_dim_min <= 0:
+        raise ValueError("proj_dim_min must be strictly positive")
+    if (proj_dim_min is not None and proj_dim_max is not None
+            and proj_dim_max < proj_dim_min):
+        raise ValueError("proj_dim_min must not exceed proj_dim_max")
+    if matmul not in MATMUL_KINDS:
+        raise ValueError(
+            f"unknown matmul kind {matmul!r}; expected one of {MATMUL_KINDS}")
+    ndim = int(np.prod(x.shape[:-1]))
+    k = calc_proj_dim(ndim, proj_dim_ratio, proj_dim, proj_dim_max,
+                      proj_dim_min)
+    cfg = _GRPConfig(proj_features=k, matmul=matmul, has_bias=bias is not None)
+    return _linear_grp(cfg, x, weight, bias, key)
+
+
+linear_randomized = linear_grp  # Prettier alias (reference parity).
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _linear_crs(cfg, x, weight, bias, key):
+    return linear(x, weight, bias)
+
+
+def _linear_crs_fwd(cfg, x, weight, bias, key):
+    nopairs, _ = cfg
+    y = linear(x, weight, bias)
+    in_features = weight.shape[-1]
+    cols = jax.random.randint(key, (nopairs,), 0, in_features)
+    x2 = x.reshape(-1, in_features)
+    # Keep duplicates; each sampled column is scaled by 1/(p * nopairs) with
+    # p = 1/in_features, applied once on the input side.
+    x_cols = jnp.take(x2, cols, axis=1) * (in_features / nopairs)
+    return y, (x_cols, cols, weight, key)
+
+
+def _linear_crs_bwd(cfg, residual, g):
+    _, has_bias = cfg
+    x_cols, cols, weight, key = residual
+    g2 = g.reshape(-1, g.shape[-1])
+    grad_x = (g2 @ weight).reshape(*g.shape[:-1], weight.shape[-1])
+    outer = g2.T @ x_cols  # (out, nopairs)
+    grad_w = jnp.zeros_like(weight).at[:, cols].add(outer)
+    grad_b = g2.sum(axis=0) if has_bias else None
+    return grad_x.astype(g.dtype), grad_w, grad_b, _int_zero_cot(key)
+
+
+_linear_crs.defvjp(_linear_crs_fwd, _linear_crs_bwd)
+
+
+def linear_crs(x: jax.Array,
+               weight: jax.Array,
+               bias: Optional[jax.Array],
+               key: jax.Array,
+               nopairs: int) -> jax.Array:
+    """Exact linear forward; backward keeps only ``nopairs`` sampled input
+    feature columns (column-row sampling) for the weight gradient."""
+    if nopairs <= 0:
+        raise ValueError("nopairs must be positive")
+    return _linear_crs((int(nopairs), bias is not None), x, weight, bias, key)

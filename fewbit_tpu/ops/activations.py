@@ -50,8 +50,18 @@ __all__ = (
 
 
 def _use_pallas() -> bool:
-    if os.getenv("FEWBIT_TPU_NATIVE", "").lower() in ("0", "no", "false"):
+    """Whether to try the fused Pallas kernels.
+
+    ``FEWBIT_TPU_NATIVE=0`` disables them (reference parity with the
+    ``FEWBIT_NATIVE`` toggle, ``fewbit/__init__.py:14-17``);
+    ``FEWBIT_TPU_NATIVE=interpret`` runs them in interpreter mode on any
+    backend (used by the CPU test suite to validate kernel semantics).
+    """
+    env = os.getenv("FEWBIT_TPU_NATIVE", "").lower()
+    if env in ("0", "no", "false"):
         return False
+    if env == "interpret":
+        return True
     return jax.default_backend() == "tpu"
 
 
@@ -77,6 +87,9 @@ class ActivationSpec:
     codes: Callable[[jax.Array, jax.Array, tuple], jax.Array]
     args: tuple = ()
     n_borders: int = 0
+    # Optional forward variant restricted to primitives Mosaic can lower
+    # (e.g. polynomial erf instead of lax.erfc); used inside Pallas kernels.
+    fwd_kernel: Callable[[jax.Array, tuple], jax.Array] | None = None
 
     @property
     def num_levels(self) -> int:

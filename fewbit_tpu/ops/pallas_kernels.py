@@ -1,35 +1,262 @@
 """Fused Pallas TPU kernels for the few-bit activation engine.
 
-Forward: activation + border-compare quantise + bit-plane pack in one pass
-over HBM (the reference pays an extra kernel and achieves only 2.18x vanilla
-gelu forward time, ``memory-usage-operation-only.py:80-85`` — fusing the pack
-into the activation is the point of this module).
+Forward: activation + border-compare quantise + bit-plane pack in **one pass
+over HBM**.  The reference library's forward costs 2.18x a vanilla GELU
+because quantise+pack runs as extra kernel work over global memory
+(``memory-usage-operation-only.py:80-85``); here the pack rides the same
+VMEM-resident block as the activation, so the op stays memory-bound at
+~(read x + write y + write codes) bytes.
 
 Backward: bit-plane unpack + LUT select + cotangent multiply, one pass.
 
-Both must produce buffers bit-identical to the ``jnp`` reference path in
-:mod:`fewbit_tpu.ops.bitpack` so forward/backward can mix paths freely.
+Layout.  The kernel views ``x`` as ``(R, C)`` (leading dims collapsed — a
+free reshape, XLA tiling lives on the minor two dims) and tiles it into
+``(BR, BC)`` blocks.  Within a block, codes pack into ``BR/32`` uint32 word
+rows per bit-plane: slab ``i`` (rows ``[i*GR, (i+1)*GR)`` of the block,
+``GR = BR/32``) contributes bit ``i`` of each word — so both pack and unpack
+touch only *contiguous sublane slabs* with static shift/or/sum ops: no
+gathers, no transposes, no strided access.  This is the TPU replacement for
+the reference's warp-shuffle butterfly codec (``cuda/codec.cu:142-220``).
 
-``fused_forward``/``fused_backward`` return ``None`` when the input shape
-does not meet the kernel's alignment requirements; the caller then falls
-back to the ``jnp`` path.
+The packed residual is ``(bits, R_pad/32, C_pad)`` uint32 — exactly
+``bits/8`` bytes per element (same density as the reference).  The backward
+kernel re-derives the identical block geometry from ``g.shape``, so forward
+and backward always agree; :func:`unpack_block_layout` provides a jnp mirror
+of the decode for fallback and testing.
+
+Ragged edges: partial edge blocks rely on Pallas OOB semantics (out-of-bounds
+reads produce garbage, out-of-bounds writes are dropped).  Garbage codes are
+harmless — every decoded bit is masked to {0,1} and the corresponding ``dx``
+rows/cols are dropped on write.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
-# Placeholder implementations — the jnp path handles everything until the
-# fused kernels land.
+GROUP = 32  # codes per uint32 word (one bit per bit-plane word)
+
+_SUPPORTED_DTYPES = (jnp.float32, jnp.bfloat16)
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _choose_blocks(r: int, c: int) -> Tuple[int, int]:
+    """Deterministic block geometry shared by forward and backward."""
+    br = min(256, _cdiv(r, GROUP) * GROUP)
+    bc = min(1024, c)
+    return br, bc
+
+
+def _eligible(spec, shape, dtype) -> bool:
+    from fewbit_tpu.ops.activations import compare_codes
+
+    if len(shape) < 2:
+        return False
+    c = shape[-1]
+    if c % 128 != 0:
+        return False
+    if dtype not in (jnp.float32.dtype, jnp.bfloat16.dtype):
+        return False
+    # Custom code functions that *use* borders (generic user stepwise with
+    # parity) are not lowered yet; predicate functions (n_borders == 0) and
+    # the standard compare path are.
+    if spec.n_borders > 0 and spec.codes is not compare_codes:
+        return False
+    return True
+
+
+def _flat_rc(shape) -> Tuple[int, int]:
+    c = shape[-1]
+    r = 1
+    for d in shape[:-1]:
+        r *= d
+    return r, c
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel.
+# ---------------------------------------------------------------------------
+
+
+def _forward_kernel(spec, br, bc, borders_ref, x_ref, y_ref, packed_ref):
+    from fewbit_tpu.ops.activations import compare_codes
+
+    gr = br // GROUP
+    xb = x_ref[:]
+    fwd = spec.fwd_kernel or spec.fwd
+    y_ref[:] = fwd(xb, spec.args).astype(y_ref.dtype)
+
+    xf = xb.astype(jnp.float32)
+    if spec.n_borders > 0:
+        codes = jnp.zeros((br, bc), dtype=jnp.uint32)
+        for k in range(spec.n_borders):
+            codes += (xf > borders_ref[0, k]).astype(jnp.uint32)
+    else:
+        codes = spec.codes(xb, None, spec.args).astype(jnp.uint32)
+
+    for b in range(spec.bits):
+        plane = (codes >> b) & jnp.uint32(1)
+        word = jnp.zeros((gr, bc), dtype=jnp.uint32)
+        for i in range(GROUP):
+            word |= plane[i * gr:(i + 1) * gr, :] << jnp.uint32(i)
+        packed_ref[b, :, :] = word
 
 
 def fused_forward(spec, x: jax.Array,
                   borders: jax.Array) -> Optional[Tuple[jax.Array, jax.Array]]:
-    return None
+    """One-pass activation + quantise + pack.  Returns ``None`` when the
+    shape/dtype/spec is outside the kernel's envelope (caller falls back)."""
+    if not _eligible(spec, x.shape, x.dtype):
+        return None
+    r, c = _flat_rc(x.shape)
+    br, bc = _choose_blocks(r, c)
+    gr = br // GROUP
+    grid_r, grid_c = _cdiv(r, br), _cdiv(c, bc)
+
+    x2 = x.reshape(r, c)
+    nb = max(spec.n_borders, 1)
+    borders2 = jnp.zeros((1, nb), jnp.float32)
+    if spec.n_borders:
+        borders2 = borders.reshape(1, -1).astype(jnp.float32)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((r, c), x.dtype),
+        jax.ShapeDtypeStruct((spec.bits, grid_r * gr, grid_c * bc),
+                             jnp.uint32),
+    )
+    kernel = functools.partial(_forward_kernel, spec, br, bc)
+    y, packed = pl.pallas_call(
+        kernel,
+        grid=(grid_r, grid_c),
+        in_specs=[
+            pl.BlockSpec((1, nb), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((br, bc), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((br, bc), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((spec.bits, gr, bc), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shapes,
+        input_output_aliases={1: 0},  # y aliases x (reference mark_dirty)
+        cost_estimate=pl.CostEstimate(
+            flops=6 * r * c + spec.n_borders * r * c + spec.bits * r * c,
+            bytes_accessed=r * c * x.dtype.itemsize * 2
+            + spec.bits * r * c // 8,
+            transcendentals=r * c,
+        ),
+        interpret=_interpret_mode(),
+    )(borders2, x2)
+    return y.reshape(x.shape), packed
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel.
+# ---------------------------------------------------------------------------
+
+
+def _backward_kernel(spec, br, bc, levels_ref, packed_ref, g_ref, dx_ref):
+    gr = br // GROUP
+    nlevels = 1 << spec.bits
+    words = [packed_ref[b, :, :] for b in range(spec.bits)]
+    for i in range(GROUP):
+        # One boolean mask per code bit for this slab (2 VPU ops each), then
+        # a balanced select tree: 2**bits - 1 selects total, no integer code
+        # ever materialised.
+        slot = jnp.uint32(1 << i)
+        masks = [(words[b] & slot) != 0 for b in range(spec.bits)]
+        vals = [levels_ref[0, k] for k in range(nlevels)]
+        for mask in masks:
+            vals = [jnp.where(mask, vals[2 * k + 1], vals[2 * k])
+                    for k in range(len(vals) // 2)]
+        g_slab = g_ref[i * gr:(i + 1) * gr, :].astype(jnp.float32)
+        dx_ref[i * gr:(i + 1) * gr, :] = (vals[0] * g_slab).astype(
+            dx_ref.dtype)
 
 
 def fused_backward(spec, packed: jax.Array, levels: jax.Array,
                    g: jax.Array) -> Optional[jax.Array]:
-    return None
+    """One-pass unpack + LUT-dequant + multiply."""
+    if packed.ndim != 3:
+        return None  # residual came from the jnp path
+    if not _eligible(spec, g.shape, g.dtype):
+        return None
+    r, c = _flat_rc(g.shape)
+    br, bc = _choose_blocks(r, c)
+    gr = br // GROUP
+    grid_r, grid_c = _cdiv(r, br), _cdiv(c, bc)
+    if packed.shape != (spec.bits, grid_r * gr, grid_c * bc):
+        return None
+
+    g2 = g.reshape(r, c)
+    levels2 = levels.reshape(1, -1).astype(jnp.float32)
+    kernel = functools.partial(_backward_kernel, spec, br, bc)
+    dx = pl.pallas_call(
+        kernel,
+        grid=(grid_r, grid_c),
+        in_specs=[
+            pl.BlockSpec((1, levels2.shape[1]), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((spec.bits, gr, bc), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((br, bc), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((br, bc), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r, c), g.dtype),
+        input_output_aliases={2: 0},  # dx aliases g
+        cost_estimate=pl.CostEstimate(
+            flops=(spec.bits * 2 + (1 << spec.bits)) * r * c,
+            bytes_accessed=r * c * g.dtype.itemsize * 2
+            + spec.bits * r * c // 8,
+            transcendentals=0,
+        ),
+        interpret=_interpret_mode(),
+    )(levels2, packed, g2)
+    return dx.reshape(g.shape)
+
+
+def _interpret_mode() -> bool:
+    import os
+
+    return os.getenv("FEWBIT_TPU_NATIVE", "").lower() == "interpret"
+
+
+# ---------------------------------------------------------------------------
+# jnp mirror of the block decode (fallback + testing).
+# ---------------------------------------------------------------------------
+
+
+def unpack_block_layout(packed: jax.Array, bits: int, shape) -> jax.Array:
+    """Decode a block-layout packed residual back to per-element codes with
+    plain jnp ops (the semantic mirror of the backward kernel)."""
+    r, c = _flat_rc(shape)
+    br, bc = _choose_blocks(r, c)
+    gr = br // GROUP
+    grid_r, grid_c = _cdiv(r, br), _cdiv(c, bc)
+    rp, cp = grid_r * br, grid_c * bc
+
+    codes = jnp.zeros((rp, cp), dtype=jnp.uint32)
+    for blk in range(grid_r):
+        block_words = packed[:, blk * gr:(blk + 1) * gr, :]  # (bits, gr, cp)
+        for i in range(GROUP):
+            code = jnp.zeros((gr, cp), dtype=jnp.uint32)
+            for b in range(bits):
+                code |= ((block_words[b] >> jnp.uint32(i)) & jnp.uint32(1)) \
+                    << jnp.uint32(b)
+            codes = codes.at[blk * br + i * gr: blk * br + (i + 1) * gr,
+                             :].set(code)
+    return codes[:r, :c].reshape(shape)
