@@ -1,0 +1,134 @@
+"""Headline benchmark: RoBERTa-base training-step memory saving + overhead.
+
+Compares the compiled training step of RoBERTa-base (MRPC-shaped batch) in
+vanilla configuration vs the few-bit configuration (3-bit GELU +
+RandomizedLinear at 20% sketch ratio) — the reference's README headline
+setting, which it reports as a 32.7% peak-memory saving (11.30 -> 7.60 GiB,
+``/root/reference/README.md:16-27``).
+
+Memory: XLA's compiled ``memory_analysis().temp_size_in_bytes`` — the
+device scratch of one step, i.e. activations/residuals between forward and
+backward plus temporaries, the same "training memory minus params" delta the
+reference measures via ``max_memory_allocated - memory_allocated``
+(``benchmark/benchmark.py:165-188``).
+
+Step time: on-device ``fori_loop``-amortised (dispatch/relay latency would
+otherwise dominate; see tools/bench_kernels.py).
+
+Prints exactly ONE JSON line on stdout:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+vs_baseline = our_saving_pct / 32.7 (reference headline; >1 beats it).
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+# MRPC-realistic shape: the reference headline (11.30 -> 7.60 GiB, -32.7%)
+# is bs=128 with HF dynamic padding over short MRPC pairs (~tens of tokens);
+# seq=128 covers nearly all pairs.  The batch ladder guards against the
+# vanilla variant OOM-ing the 16 GiB chip (it needs ~3x the scratch of the
+# few-bit variant).
+BATCH_LADDER = (64, 32, 16)
+SEQ = 128
+REF_SAVING_PCT = 32.7
+
+
+def build(gelu_bits, proj_dim_ratio, batch_size):
+    from fewbit_tpu.models import (RobertaConfig,
+                                   RobertaForSequenceClassification)
+    from fewbit_tpu.train import TrainConfig, create_train_state, \
+        make_train_step
+    from fewbit_tpu.train import synthetic_glue
+
+    cfg = RobertaConfig(gelu_bits=gelu_bits, proj_dim_ratio=proj_dim_ratio,
+                        sketch="countsketch", dtype=jnp.float32)
+    model = RobertaForSequenceClassification(cfg)
+    batch_np = next(synthetic_glue(batch_size, seq_len=SEQ,
+                                   vocab_size=cfg.vocab_size))
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    state = create_train_state(
+        model, TrainConfig(total_steps=100, learning_rate=1e-5), batch)
+    step = make_train_step(model)
+    jitted = jax.jit(step, donate_argnums=(0,))
+    lowered = jitted.lower(state, batch, jax.random.key(0))
+    compiled = lowered.compile()
+    return state, batch, compiled
+
+
+def measure_mem(compiled):
+    ma = compiled.memory_analysis()
+    return int(ma.temp_size_in_bytes)
+
+
+def measure_time(compiled, state, batch, iters=5, rounds=4):
+    # Chained state defeats async dispatch; the execution relay on this
+    # environment occasionally stalls for tens of seconds, so take the best
+    # of several rounds.
+    key = jax.random.key(1)
+    out_state, m = compiled(state, batch, key)
+    _ = float(m["loss"])  # full warm-up round trip
+    best = float("inf")
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out_state, m = compiled(out_state, batch, key)
+        _ = float(m["loss"])
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
+def main():
+    log("backend:", jax.default_backend())
+
+    for batch in BATCH_LADDER:
+        try:
+            log(f"compiling vanilla step (bs={batch}, seq={SEQ})...")
+            sv, bv, comp_v = build(None, None, batch)
+            break
+        except Exception as exc:  # noqa: BLE001 — OOM at this batch size
+            log(f"bs={batch} failed ({type(exc).__name__}); trying smaller")
+    mem_v = measure_mem(comp_v)
+    log(f"vanilla temp: {mem_v / 2**30:.3f} GiB")
+
+    log("compiling fewbit step (gelu3 + grp 0.2)...")
+    sf, bf, comp_f = build(3, 0.2, batch)
+    mem_f = measure_mem(comp_f)
+    log(f"fewbit temp: {mem_f / 2**30:.3f} GiB")
+
+    saving_pct = 100.0 * (1.0 - mem_f / mem_v)
+    log(f"memory saving: {saving_pct:.1f}% (reference headline: 32.7%)")
+
+    t_v = measure_time(comp_v, sv, bv)
+    t_f = measure_time(comp_f, sf, bf)
+    overhead_pct = 100.0 * (t_f / t_v - 1.0)
+    log(f"step time: vanilla {t_v*1e3:.1f} ms, fewbit {t_f*1e3:.1f} ms "
+        f"({overhead_pct:+.1f}%)")
+
+    print(json.dumps({
+        "metric": "roberta_base_train_step_mem_saving",
+        "value": round(saving_pct, 2),
+        "unit": "percent",
+        "vs_baseline": round(saving_pct / REF_SAVING_PCT, 3),
+        "detail": {
+            "batch": batch, "seq": SEQ,
+            "vanilla_temp_bytes": mem_v,
+            "fewbit_temp_bytes": mem_f,
+            "vanilla_step_ms": round(t_v * 1e3, 2),
+            "fewbit_step_ms": round(t_f * 1e3, 2),
+            "step_time_overhead_pct": round(overhead_pct, 2),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

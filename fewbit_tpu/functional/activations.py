@@ -269,6 +269,12 @@ def stepwise(x: jax.Array,
 
 _SQRT_HALF = 0.7071067811865476
 
+# Bind the exact implementations at import time so the engine stays
+# self-consistent when fewbit_tpu.patch later monkey-patches jax.nn.
+_JAX_GELU = jax.nn.gelu
+_JAX_SILU = jax.nn.silu
+_JAX_SIGMOID = jax.nn.sigmoid
+
 
 def _erf_poly(z: jax.Array) -> jax.Array:
     a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
@@ -402,7 +408,7 @@ def elu(x: jax.Array, alpha: float = 1.0, *, bits: Optional[int] = None,
 def _gelu_fwd(x, args):
     # Exact (erf-based) GELU, matching the reference kernel x * normcdf(x)
     # (cuda/codec.cu:541).
-    return jax.nn.gelu(x, approximate=False)
+    return _JAX_GELU(x, approximate=False)
 
 
 def gelu(x: jax.Array, *, bits: Optional[int] = None, borders=None,
@@ -449,7 +455,7 @@ def selu(x: jax.Array, *, bits: Optional[int] = None, borders=None,
 
 
 def _sigmoid_fwd(x, args):
-    return jax.nn.sigmoid(x)
+    return _JAX_SIGMOID(x)
 
 
 def sigmoid(x: jax.Array, *, bits: Optional[int] = None, borders=None,
@@ -459,7 +465,7 @@ def sigmoid(x: jax.Array, *, bits: Optional[int] = None, borders=None,
 
 
 def _silu_fwd(x, args):
-    return jax.nn.silu(x)
+    return _JAX_SILU(x)
 
 
 def silu(x: jax.Array, *, bits: Optional[int] = None, borders=None,

@@ -1,0 +1,5 @@
+from fewbit_tpu.parallel.mesh import (  # noqa: F401
+    data_parallel_step, fold_shard_key, make_mesh, replicate, shard_batch)
+from fewbit_tpu.parallel.tp import (  # noqa: F401
+    dp_tp_train_step, init_dp_tp_state, make_dp_tp_mesh, state_specs,
+    tp_param_spec)

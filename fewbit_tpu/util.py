@@ -30,7 +30,8 @@ except ImportError:  # pragma: no cover
 
 __all__ = ("map_module", "convert_linear", "residual_shapes",
            "estimate_memory_usage", "memory_delta_bytes",
-           "device_memory_stats", "peak_memory_bytes")
+           "device_memory_stats", "peak_memory_bytes", "profile_trace",
+           "compiled_memory_stats")
 
 
 # ---------------------------------------------------------------------------
@@ -154,3 +155,38 @@ def peak_memory_bytes(device=None) -> Optional[int]:
     """Peak bytes in use on ``device`` since process start, if reported."""
     stats = device_memory_stats(device)
     return stats.get("peak_bytes_in_use")
+
+
+def compiled_memory_stats(fn: Callable, *args, **jit_kwargs) -> dict:
+    """Compile ``fn`` for the current backend and report XLA's memory
+    analysis (argument/output/temp/alias sizes).  ``temp_size_bytes`` is the
+    device scratch of one call — activations and temporaries between forward
+    and backward for a training step — the static equivalent of the
+    reference's ``max_memory_allocated`` delta measurement
+    (``benchmark/benchmark.py:165-188``)."""
+    compiled = jax.jit(fn, **jit_kwargs).lower(*args).compile()
+    ma = compiled.memory_analysis()
+    return {
+        "argument_size_bytes": int(ma.argument_size_in_bytes),
+        "output_size_bytes": int(ma.output_size_in_bytes),
+        "temp_size_bytes": int(ma.temp_size_in_bytes),
+        "alias_size_bytes": int(ma.alias_size_in_bytes),
+        "generated_code_size_bytes": int(ma.generated_code_size_in_bytes),
+    }
+
+
+class profile_trace:
+    """Context manager around ``jax.profiler.trace`` (TensorBoard trace with
+    device memory timeline) — the observability hook the reference reaches
+    for torch.profiler for (``memory-usage-operation-only.py:47-73``)."""
+
+    def __init__(self, logdir: str):
+        self.logdir = str(logdir)
+
+    def __enter__(self):
+        jax.profiler.start_trace(self.logdir)
+        return self
+
+    def __exit__(self, *exc):
+        jax.profiler.stop_trace()
+        return False

@@ -59,7 +59,7 @@ class TestLinearGRP:
                                        atol=1e-6)
 
     @pytest.mark.parametrize("matmul",
-                             ["gaussian", "rademacher", "dct", "dft"])
+                             ["gaussian", "rademacher", "dct", "dft", "countsketch"])
     def test_weight_grad_unbiased(self, matmul):
         gw_exact, gb_exact = exact_grads()
         gw_mc, gb_mc = mc_weight_grad(matmul=matmul)

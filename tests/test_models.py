@@ -1,0 +1,156 @@
+"""Model + training-loop tests (tiny configs, CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fewbit_tpu.models import (MLP, RobertaConfig,
+                               RobertaForSequenceClassification)
+from fewbit_tpu.train import (TrainConfig, create_train_state, make_eval_step,
+                              make_schedule, make_train_step,
+                              restore_checkpoint, save_checkpoint,
+                              synthetic_glue)
+
+TINY = RobertaConfig(vocab_size=128, hidden_size=32, num_layers=2,
+                     num_heads=2, intermediate_size=64,
+                     max_position_embeddings=66, num_labels=2)
+
+
+def tiny_batch(bs=4, seq=16):
+    return next(synthetic_glue(bs, seq_len=seq, vocab_size=TINY.vocab_size))
+
+
+class TestRoberta:
+
+    @pytest.mark.parametrize("cfg", [
+        TINY,
+        RobertaConfig(**{**TINY.__dict__, "gelu_bits": 3}),
+        RobertaConfig(**{**TINY.__dict__, "gelu_bits": 3,
+                         "proj_dim_ratio": 0.25}),
+    ], ids=["exact", "gelu3", "gelu3+grp"])
+    def test_forward_and_grad(self, cfg):
+        model = RobertaForSequenceClassification(cfg)
+        batch = tiny_batch()
+        keys = {"params": jax.random.key(0), "dropout": jax.random.key(1),
+                "sketch": jax.random.key(2)}
+        params = model.init(keys, batch["input_ids"],
+                            batch["attention_mask"], deterministic=True)
+        logits = model.apply(params, batch["input_ids"],
+                             batch["attention_mask"], deterministic=True)
+        assert logits.shape == (4, 2)
+        assert bool(jnp.isfinite(logits).all())
+
+        def loss(p):
+            out = model.apply(p, batch["input_ids"],
+                              batch["attention_mask"], deterministic=False,
+                              rngs={"dropout": jax.random.key(3),
+                                    "sketch": jax.random.key(4)})
+            return out.sum()
+
+        g = jax.grad(loss)(params)
+        norm = jnp.sqrt(sum(jnp.sum(x * x)
+                            for x in jax.tree_util.tree_leaves(g)))
+        assert bool(jnp.isfinite(norm)) and float(norm) > 0
+
+    def test_fewbit_forward_matches_exact(self):
+        """gelu_bits only changes the backward; forward must be identical."""
+        model_a = RobertaForSequenceClassification(TINY)
+        model_b = RobertaForSequenceClassification(
+            RobertaConfig(**{**TINY.__dict__, "gelu_bits": 3}))
+        batch = tiny_batch()
+        params = model_a.init(jax.random.key(0), batch["input_ids"],
+                              batch["attention_mask"])
+        la = model_a.apply(params, batch["input_ids"],
+                           batch["attention_mask"])
+        lb = model_b.apply(params, batch["input_ids"],
+                           batch["attention_mask"])
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-5)
+
+    def test_position_ids_skip_padding(self):
+        cfg = TINY
+        model = RobertaForSequenceClassification(cfg)
+        ids = np.full((1, 8), cfg.pad_token_id, np.int32)
+        ids[0, :3] = [0, 5, 6]
+        mask = (ids != cfg.pad_token_id).astype(np.int32)
+        params = model.init(jax.random.key(0), jnp.asarray(ids),
+                            jnp.asarray(mask))
+        out = model.apply(params, jnp.asarray(ids), jnp.asarray(mask))
+        assert bool(jnp.isfinite(out).all())
+
+
+class TestMLP:
+
+    def test_training_convergence_parity(self):
+        """North-star config 1 extended: exact vs 3-bit GELU training."""
+        x = jnp.asarray(np.random.RandomState(0).randn(256, 16), jnp.float32)
+        y = (np.asarray(x)[:, 0] > 0).astype(np.int32)
+        y = jnp.asarray(y)
+
+        def train(gelu_bits, steps=150):
+            model = MLP(features=(32, 2), gelu_bits=gelu_bits)
+            params = model.init(jax.random.key(0), x)
+
+            import optax
+            tx = optax.adam(5e-3)
+            opt = tx.init(params)
+
+            @jax.jit
+            def step(params, opt):
+                def loss(p):
+                    logits = model.apply(p, x)
+                    return optax.softmax_cross_entropy_with_integer_labels(
+                        logits, y).mean()
+                l, g = jax.value_and_grad(loss)(params)
+                updates, opt = tx.update(g, opt, params)
+                return optax.apply_updates(params, updates), opt, l
+
+            for _ in range(steps):
+                params, opt, l = step(params, opt)
+            return float(l)
+
+        exact = train(None)
+        fewbit = train(3)
+        assert fewbit < exact + 0.05  # few-bit grads converge comparably
+
+
+class TestTrainLoop:
+
+    def test_schedule_shape(self):
+        cfg = TrainConfig(learning_rate=1e-3, total_steps=100,
+                          warmup_ratio=0.1)
+        sched = make_schedule(cfg)
+        assert float(sched(0)) < 1e-4
+        assert abs(float(sched(10)) - 1e-3) < 1e-9
+        assert float(sched(100)) < 1e-5
+
+    def test_train_and_eval_step(self):
+        model = RobertaForSequenceClassification(
+            RobertaConfig(**{**TINY.__dict__, "gelu_bits": 3,
+                             "proj_dim_ratio": 0.5}))
+        batch = tiny_batch()
+        cfg = TrainConfig(total_steps=10, learning_rate=1e-4)
+        state = create_train_state(model, cfg, batch)
+        step = jax.jit(make_train_step(model))
+        new_state, metrics = step(state, batch, jax.random.key(0))
+        assert float(metrics["loss"]) > 0
+        assert new_state.step == 1
+        ev = make_eval_step(model)(new_state, batch)
+        assert 0.0 <= float(ev["accuracy"]) <= 1.0
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        model = RobertaForSequenceClassification(TINY)
+        batch = tiny_batch()
+        cfg = TrainConfig(total_steps=10)
+        state = create_train_state(model, cfg, batch)
+        step = jax.jit(make_train_step(model))
+        state, _ = step(state, batch, jax.random.key(0))
+        save_checkpoint(tmp_path / "ckpt", state)
+
+        fresh = create_train_state(model, cfg, batch, seed=123)
+        restored = restore_checkpoint(tmp_path / "ckpt", fresh)
+        assert int(restored.step) == 1
+        a = jax.tree_util.tree_leaves(state.params)[0]
+        b = jax.tree_util.tree_leaves(restored.params)[0]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

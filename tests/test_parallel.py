@@ -1,0 +1,128 @@
+"""Data-parallel training over the 8-device virtual CPU mesh.
+
+The multi-device coverage the reference never had (SURVEY.md §4): sharded
+step runs, residual codes stay device-local, and the sharded step is
+numerically equivalent to the single-device step for deterministic models.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fewbit_tpu.models import RobertaConfig, RobertaForSequenceClassification
+from fewbit_tpu.parallel import (data_parallel_step, make_mesh, replicate,
+                                 shard_batch)
+from fewbit_tpu.train import (TrainConfig, create_train_state,
+                              make_train_step, synthetic_glue)
+
+TINY = RobertaConfig(vocab_size=128, hidden_size=32, num_layers=2,
+                     num_heads=2, intermediate_size=64,
+                     max_position_embeddings=66, num_labels=2,
+                     hidden_dropout=0.0, attention_dropout=0.0,
+                     gelu_bits=3, proj_dim_ratio=0.5)
+
+
+def batch_of(bs):
+    return next(synthetic_glue(bs, seq_len=16, vocab_size=TINY.vocab_size))
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_step_runs_and_updates():
+    mesh = make_mesh()
+    model = RobertaForSequenceClassification(TINY)
+    batch = batch_of(16)
+    cfg = TrainConfig(total_steps=10, learning_rate=1e-4)
+    state = create_train_state(model, cfg, batch)
+
+    step = data_parallel_step(make_train_step(model, dp_axis="dp"), mesh)
+    state_r = replicate(state, mesh)
+    batch_r = shard_batch(batch, mesh)
+    new_state, metrics = step(state_r, batch_r, jax.random.key(0))
+    assert float(metrics["loss"]) > 0
+    assert int(new_state.step) == 1
+
+
+def test_sharded_matches_single_device():
+    """With dropout off and per-shard folded sketch keys, the dp-sharded
+    gradient equals the mean of per-shard gradients computed by hand."""
+    mesh = make_mesh()
+    model = RobertaForSequenceClassification(
+        RobertaConfig(**{**TINY.__dict__, "proj_dim_ratio": None}))
+    batch = batch_of(16)
+    cfg = TrainConfig(total_steps=10, learning_rate=1e-4)
+    state = create_train_state(model, cfg, batch)
+
+    # Single-device reference: replicate the same per-shard computation.
+    import optax
+
+    def shard_loss(params, shard):
+        logits = model.apply({"params": params}, shard["input_ids"],
+                             shard["attention_mask"], deterministic=False,
+                             rngs={"dropout": jax.random.key(9),
+                                   "sketch": jax.random.key(9)})
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits.astype(jnp.float32), shard["labels"]).mean()
+
+    # dp-sharded step (deterministic model: dropout 0, no sketch layers).
+    step = data_parallel_step(make_train_step(model, dp_axis="dp"), mesh,
+                              donate_state=False)
+    state_r = replicate(state, mesh)
+    new_state, metrics = step(state_r, shard_batch(batch, mesh),
+                              jax.random.key(0))
+
+    # Hand-computed: mean over 8 shards of per-shard grads (keys differ per
+    # shard, but model is deterministic so keys don't matter).
+    grads = []
+    losses = []
+    for i in range(8):
+        shard = {k: v[i * 2:(i + 1) * 2] for k, v in batch.items()}
+        l, g = jax.value_and_grad(shard_loss)(state.params, shard)
+        grads.append(g)
+        losses.append(float(l))
+    mean_grad = jax.tree.map(lambda *xs: sum(xs) / len(xs), *grads)
+    expected = state.apply_gradients(grads=mean_grad)
+
+    np.testing.assert_allclose(float(metrics["loss"]), np.mean(losses),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(new_state.params),
+                    jax.tree_util.tree_leaves(expected.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_residuals_stay_sharded():
+    """The packed activation codes produced inside the sharded step carry
+    the batch sharding — no all-gather between forward and backward."""
+    mesh = make_mesh()
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    import fewbit_tpu.functional as F
+
+    def fwd_residual_shape(x):
+        _, vjp = jax.vjp(lambda t: F.gelu(t, bits=3), x)
+        leaves = jax.tree_util.tree_leaves(vjp)
+        packed = [l for l in leaves if l.dtype == jnp.uint32][0]
+        return packed.shape
+
+    x = jnp.zeros((8, 64), jnp.float32)
+    # Inside shard_map each device sees (1, 64): residual is per-shard.
+    shape_holder = []
+
+    def probe(xs):
+        shape_holder.append(fwd_residual_shape(xs))
+        return xs
+
+    shard_map(probe, mesh=mesh, in_specs=(P("dp"),), out_specs=P("dp"),
+              check_vma=False)(x)
+    local_words = -(-64 // 32)  # 1 row x 64 cols per device
+    assert shape_holder[0] == (3, local_words)
