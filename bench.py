@@ -70,20 +70,25 @@ def measure_mem(compiled):
     return int(ma.temp_size_in_bytes)
 
 
-def measure_time(compiled, state, batch, iters=5, rounds=4):
+def measure_time(compiled, state, batch, iters=5, rounds=4,
+                 budget_s=120.0):
     # Chained state defeats async dispatch; the execution relay on this
     # environment occasionally stalls for tens of seconds, so take the best
-    # of several rounds.
+    # of several rounds under a wall-clock budget.
     key = jax.random.key(1)
     out_state, m = compiled(state, batch, key)
     _ = float(m["loss"])  # full warm-up round trip
     best = float("inf")
-    for _ in range(rounds):
+    start = time.perf_counter()
+    for r in range(rounds):
         t0 = time.perf_counter()
         for _ in range(iters):
             out_state, m = compiled(out_state, batch, key)
         _ = float(m["loss"])
         best = min(best, (time.perf_counter() - t0) / iters)
+        if r >= 1 and time.perf_counter() - start > budget_s:
+            log(f"timing budget reached after round {r + 1}")
+            break
     return best
 
 

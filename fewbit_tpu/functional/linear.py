@@ -153,11 +153,18 @@ def _sketch(cfg: _GRPConfig, key: jax.Array, mat: jax.Array,
         signs = (jax.random.bernoulli(key, 0.5, (n,)).astype(mat.dtype)
                  * 2.0 - 1.0)
         signed = mat * signs[:, None]
-        block = -(-n // k)
-        pad = k * block - n
-        if pad:
-            signed = jnp.pad(signed, ((0, pad), (0, 0)))
-        return signed.reshape(block, k, mat.shape[1]).sum(axis=0)
+        d = mat.shape[1]
+        block = n // k
+        if block == 0:
+            out = jnp.zeros((k, d), mat.dtype)
+            return out.at[:n].add(signed)
+        main = signed[:block * k].reshape(block, k, d).sum(axis=0)
+        rem = n - block * k
+        if rem:
+            # Tail rows fold into the first `rem` buckets — a static-slice
+            # add, no pad copy of the whole batch.
+            main = main.at[:rem].add(signed[block * k:])
+        return main
     if cfg.matmul == "dct":
         rows = jax.random.randint(key, (k,), 0, n)
         transformed = dct(mat, type=2, axis=0, norm="ortho")

@@ -68,6 +68,27 @@ class TestRoberta:
                            batch["attention_mask"])
         np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-5)
 
+    def test_bf16_activations(self):
+        cfg = RobertaConfig(**{**TINY.__dict__, "gelu_bits": 3,
+                               "proj_dim_ratio": 0.25,
+                               "dtype": jnp.bfloat16})
+        model = RobertaForSequenceClassification(cfg)
+        batch = tiny_batch()
+        params = model.init(
+            {"params": jax.random.key(0), "sketch": jax.random.key(1)},
+            batch["input_ids"], batch["attention_mask"])
+        logits = model.apply(params, batch["input_ids"],
+                             batch["attention_mask"])
+        assert logits.dtype == jnp.bfloat16
+        g = jax.grad(lambda p: model.apply(
+            p, batch["input_ids"], batch["attention_mask"],
+            deterministic=False,
+            rngs={"dropout": jax.random.key(2),
+                  "sketch": jax.random.key(3)}).astype(jnp.float32).sum())(
+            params)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(bool(jnp.isfinite(l).all()) for l in leaves)
+
     def test_position_ids_skip_padding(self):
         cfg = TINY
         model = RobertaForSequenceClassification(cfg)
