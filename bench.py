@@ -21,12 +21,36 @@ vs_baseline = our_saving_pct / 32.7 (reference headline; >1 beats it).
 """
 
 import json
+import signal
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+class _Timeout(Exception):
+    pass
+
+
+def _with_deadline(seconds, fn, *args, default=None):
+    """Run fn under a SIGALRM deadline (the execution relay can stall for
+    minutes); return default on expiry."""
+
+    def handler(signum, frame):
+        raise _Timeout()
+
+    old = signal.signal(signal.SIGALRM, handler)
+    signal.alarm(int(seconds))
+    try:
+        return fn(*args)
+    except _Timeout:
+        log(f"deadline of {seconds}s expired")
+        return default
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 
 def log(*a):
@@ -113,11 +137,15 @@ def main():
     saving_pct = 100.0 * (1.0 - mem_f / mem_v)
     log(f"memory saving: {saving_pct:.1f}% (reference headline: 32.7%)")
 
-    t_v = measure_time(comp_v, sv, bv)
-    t_f = measure_time(comp_f, sf, bf)
-    overhead_pct = 100.0 * (t_f / t_v - 1.0)
-    log(f"step time: vanilla {t_v*1e3:.1f} ms, fewbit {t_f*1e3:.1f} ms "
-        f"({overhead_pct:+.1f}%)")
+    t_v = _with_deadline(180, measure_time, comp_v, sv, bv)
+    t_f = _with_deadline(180, measure_time, comp_f, sf, bf)
+    if t_v and t_f:
+        overhead_pct = 100.0 * (t_f / t_v - 1.0)
+        log(f"step time: vanilla {t_v*1e3:.1f} ms, fewbit {t_f*1e3:.1f} ms "
+            f"({overhead_pct:+.1f}%)")
+    else:
+        overhead_pct = None
+        log("step timing unavailable (relay stalled); memory metric stands")
 
     print(json.dumps({
         "metric": "roberta_base_train_step_mem_saving",
@@ -128,9 +156,10 @@ def main():
             "batch": batch, "seq": SEQ,
             "vanilla_temp_bytes": mem_v,
             "fewbit_temp_bytes": mem_f,
-            "vanilla_step_ms": round(t_v * 1e3, 2),
-            "fewbit_step_ms": round(t_f * 1e3, 2),
-            "step_time_overhead_pct": round(overhead_pct, 2),
+            "vanilla_step_ms": round(t_v * 1e3, 2) if t_v else None,
+            "fewbit_step_ms": round(t_f * 1e3, 2) if t_f else None,
+            "step_time_overhead_pct": (round(overhead_pct, 2)
+                                       if overhead_pct is not None else None),
         },
     }))
 

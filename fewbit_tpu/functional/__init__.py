@@ -23,3 +23,6 @@ from fewbit_tpu.functional.linear import (  # noqa: F401
 from fewbit_tpu.functional.variance import (  # noqa: F401
     GradientStorage, catch_gradients, estimate_correlation,
     estimate_variance_rmm, estimate_variance_sgd)
+
+# Fused dense + activation block.
+from fewbit_tpu.functional.fused import fewbit_dense_act  # noqa: F401

@@ -376,11 +376,50 @@ _KERNEL_FWD = {
 
 
 def _continuous_call(name, fwd, x, args, bits, borders, values):
-    b, v, nbits = _resolve_lut(name, bits, borders, values)
-    spec = ActivationSpec(name=name, bits=nbits, fwd=fwd, codes=compare_codes,
-                          args=args, n_borders=int(b.shape[0]),
-                          fwd_kernel=_KERNEL_FWD.get(name))
+    spec, b, v = resolve_activation(name, bits=bits, borders=borders,
+                                    values=values, args=args, fwd=fwd)
     return fewbit_activation(spec, x, b, v)
+
+
+def resolve_activation(name: str, bits: Optional[int] = None, borders=None,
+                       values=None, args: tuple = (), fwd=None):
+    """Build the (spec, borders, levels) triple for an activation by name —
+    shared by the elementwise engine and the fused dense+activation op."""
+    if name in CONTINUOUS:
+        if fwd is None:
+            fwd = globals()[f"_{name}_fwd"]
+            if name in ("celu", "elu") and not args:
+                args = (1.0,)
+            if name == "softplus" and not args:
+                args = (1.0, 20.0)
+        b, v, nbits = _resolve_lut(name, bits, borders, values)
+        spec = ActivationSpec(name=name, bits=nbits, fwd=fwd,
+                              codes=compare_codes, args=args,
+                              n_borders=int(b.shape[0]),
+                              fwd_kernel=_KERNEL_FWD.get(name))
+        return spec, b, v
+    # (fwd, predicate, default args, level below, level above)
+    builders = {
+        "relu": (_relu_fwd, _positive_pred, (), 0.0, 1.0),
+        "relu6": (_relu6_fwd, _relu6_pred, (), 0.0, 1.0),
+        "hardtanh": (_hardtanh_fwd, _hardtanh_pred, (-1.0, 1.0), 0.0, 1.0),
+        "leaky_relu": (_leaky_relu_fwd, _positive_pred, (0.01,), None, 1.0),
+        "hardsigmoid": (_hardsigmoid_fwd, _hardsigmoid_pred, (), 0.0,
+                        1.0 / 6.0),
+        "hardshrink": (_hardshrink_fwd, _hardshrink_pred, (0.5,), 0.0, 1.0),
+        "softshrink": (_softshrink_fwd, _hardshrink_pred, (0.5,), 0.0, 1.0),
+        "threshold": (_threshold_fwd, _threshold_pred, (0.0, 0.0), 0.0, 1.0),
+    }
+    if name not in builders:
+        raise ValueError(f"unknown activation {name!r}")
+    fwd_fn, pred, default_args, lo, hi = builders[name]
+    args = args or default_args
+    if lo is None:  # leaky_relu: the low level is the negative slope
+        lo = args[0]
+    spec = ActivationSpec(name=name, bits=1, fwd=fwd_fn, codes=pred,
+                          args=args, n_borders=0)
+    levels = jnp.array([lo, hi], dtype=jnp.float32)
+    return spec, _empty_borders(), levels
 
 
 def _celu_fwd(x, args):

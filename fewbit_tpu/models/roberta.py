@@ -182,10 +182,21 @@ class RobertaLayer(nn.Module):
         # Column-parallel up projection (local slice of the FFN inner dim
         # under TP), few-bit activation on the local shard — the bitpacked
         # residual inherits the tp feature sharding — then row-parallel down
-        # projection with a single psum.
-        inner = _dense(cfg, cfg.intermediate_size // cfg.tp_size,
-                       "intermediate")(x)
-        inner = _activation(cfg, inner)
+        # projection with a single psum.  With gelu_bits set, the up
+        # projection + activation + quantise + pack run as ONE Pallas kernel
+        # (the fp32 pre-activation never reaches HBM).
+        inner_features = cfg.intermediate_size // cfg.tp_size
+        if cfg.gelu_bits:
+            from fewbit_tpu.modules.fused import FusedDenseActivation
+
+            inner = FusedDenseActivation(
+                features=inner_features, activation="gelu",
+                bits=cfg.gelu_bits, dtype=cfg.dtype,
+                proj_dim_ratio=cfg.proj_dim_ratio, matmul=cfg.sketch,
+                name="intermediate")(x)
+        else:
+            inner = _dense(cfg, inner_features, "intermediate")(x)
+            inner = _activation(cfg, inner)
         if cfg.tp_axis is None:
             out = _dense(cfg, cfg.hidden_size, "ffn_output")(inner)
         else:

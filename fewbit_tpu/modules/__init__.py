@@ -15,5 +15,7 @@ from fewbit_tpu.modules.activations import (  # noqa: F401
 from fewbit_tpu.modules.linear import (  # noqa: F401
     DenseCRS, LinearCRS, LinearGRP, RandomizedDense, RandomizedLinear)
 
+from fewbit_tpu.modules.fused import FusedDenseActivation  # noqa: F401
+
 from fewbit_tpu.modules.variance import (  # noqa: F401
     VarianceEstimator, VarianceEstimatorState)

@@ -236,6 +236,126 @@ def _interpret_mode() -> bool:
 
 
 # ---------------------------------------------------------------------------
+# Fused dense + activation + quantise + pack ("FFN prefix" megakernel).
+#
+# Computes z = x @ w + b on the MXU and applies the activation, the border
+# compare, and the bit-plane pack in the epilogue of the same kernel — the
+# big (N, M) pre-activation z never exists in HBM.  Combined with a sketched
+# input residual this reduces the whole dense+activation block's backward
+# storage to sketch(x) + bits/8 bytes per element.
+# ---------------------------------------------------------------------------
+
+
+def _dense_act_kernel(spec, bn, bm, bk, n_k, borders_ref, x_ref, w_ref,
+                      bias_ref, y_ref, packed_ref, acc_ref):
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jnp.dot(x_ref[:], w_ref[:],
+                          preferred_element_type=jnp.float32)
+
+    @pl.when(k_idx == n_k - 1)
+    def _epilogue():
+        gr = bn // GROUP
+        z = acc_ref[:] + bias_ref[0, :][None, :]
+        fwd = spec.fwd_kernel or spec.fwd
+        y_ref[:] = fwd(z, spec.args).astype(y_ref.dtype)
+        if spec.n_borders > 0:
+            codes = jnp.zeros((bn, bm), dtype=jnp.uint32)
+            for k in range(spec.n_borders):
+                codes += (z > borders_ref[0, k]).astype(jnp.uint32)
+        else:
+            codes = spec.codes(z, None, spec.args).astype(jnp.uint32)
+        for b in range(spec.bits):
+            plane = (codes >> b) & jnp.uint32(1)
+            word = jnp.zeros((gr, bm), dtype=jnp.uint32)
+            for i in range(GROUP):
+                word |= plane[i * gr:(i + 1) * gr, :] << jnp.uint32(i)
+            packed_ref[b, :, :] = word
+
+
+def fused_dense_act(spec, x: jax.Array, w: jax.Array, bias, borders
+                    ) -> Optional[Tuple[jax.Array, jax.Array]]:
+    """One-kernel ``act(x @ w + b)`` with bitpacked codes of the
+    pre-activation.  ``x``: (N, K); ``w``: (K, M).  Returns None when shapes
+    fall outside the kernel envelope (caller falls back to XLA + the
+    elementwise fused kernels)."""
+    if x.ndim != 2 or w.ndim != 2:
+        return None
+    n, kdim = x.shape
+    _, m = w.shape
+    if n % 8 or kdim % 128 or m % 128:
+        return None
+    if x.dtype not in (jnp.float32.dtype, jnp.bfloat16.dtype):
+        return None
+    from fewbit_tpu.ops.activations import compare_codes
+
+    if spec.n_borders > 0 and spec.codes is not compare_codes:
+        return None
+
+    # Same (row, col) block geometry as the elementwise kernels so the
+    # packed residual decodes with the ordinary fused_backward.
+    bn, bm = _choose_blocks(n, m)
+    bk = min(512, kdim)
+    gr = bn // GROUP
+    grid = (_cdiv(n, bn), _cdiv(m, bm), _cdiv(kdim, bk))
+
+    nb = max(spec.n_borders, 1)
+    borders2 = jnp.zeros((1, nb), jnp.float32)
+    if spec.n_borders:
+        borders2 = borders.reshape(1, -1).astype(jnp.float32)
+    bias2 = (bias if bias is not None else
+             jnp.zeros((m,), jnp.float32)).reshape(1, m).astype(jnp.float32)
+
+    kernel = functools.partial(_dense_act_kernel, spec, bn, bm, bk, grid[2])
+    out_shapes = (
+        jax.ShapeDtypeStruct((n, m), x.dtype),
+        jax.ShapeDtypeStruct((spec.bits, grid[0] * gr, grid[1] * bm),
+                             jnp.uint32),
+    )
+    y, packed = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, nb), lambda i, j, k: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((bn, bk), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bm), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bm), lambda i, j, k: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((bn, bm), lambda i, j, k: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((spec.bits, gr, bm), lambda i, j, k: (0, i, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((bn, bm), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * m * kdim,
+            bytes_accessed=(n * kdim + kdim * m) * x.dtype.itemsize
+            + n * m * x.dtype.itemsize + spec.bits * n * m // 8,
+            transcendentals=n * m,
+        ),
+        interpret=_interpret_mode(),
+    )(borders2, x, w, bias2)
+    return y, packed
+
+
+def dense_act_packed_shape(spec, n: int, m: int) -> Tuple[int, int, int]:
+    """Packed-residual shape the megakernel will produce for (n, m)."""
+    bn, bm = _choose_blocks(n, m)
+    gr = bn // GROUP
+    return (spec.bits, _cdiv(n, bn) * gr, _cdiv(m, bm) * bm)
+
+
+# ---------------------------------------------------------------------------
 # jnp mirror of the block decode (fallback + testing).
 # ---------------------------------------------------------------------------
 
