@@ -64,6 +64,12 @@ class RobertaConfig:
     # sharding.  ``num_heads`` / ``intermediate_size`` stay the GLOBAL sizes.
     tp_axis: Optional[str] = None
     tp_size: int = 1
+    # Pallas TPU flash attention: attention probabilities are never
+    # materialised in HBM (another large activation-memory consumer the
+    # reference never addresses — it has no attention code at all).  TPU
+    # only; other backends silently use the standard path.  Attention
+    # dropout is skipped under flash attention.
+    flash_attention: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -146,15 +152,23 @@ class RobertaSelfAttention(nn.Module):
 
         q, k, v = split(q), split(k), split(v)
         scale = cfg.head_dim ** -0.5
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
-        if attention_mask is not None:
-            bias = jnp.where(attention_mask[:, None, None, :] > 0, 0.0,
-                             jnp.finfo(jnp.float32).min).astype(logits.dtype)
-            logits = logits + bias
-        probs = jax.nn.softmax(logits, axis=-1)
-        probs = nn.Dropout(cfg.attention_dropout)(
-            probs, deterministic=deterministic)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, s, width)
+
+        if cfg.flash_attention and jax.default_backend() == "tpu":
+            from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+            seg = None
+            if attention_mask is not None:
+                ids = attention_mask.astype(jnp.int32)
+                seg = fa.SegmentIds(q=ids, kv=ids)
+            ctx = fa.flash_attention(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), segment_ids=seg, causal=False,
+                sm_scale=scale)
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, width)
+        else:
+            ctx = self._standard_attention(cfg, q, k, v, scale,
+                                           attention_mask, deterministic,
+                                           b, s, width)
         if cfg.tp_axis is None:
             out = _dense(cfg, h, "output")(ctx)
         else:
@@ -166,6 +180,19 @@ class RobertaSelfAttention(nn.Module):
                                    (h,), cfg.dtype)
         out = nn.Dropout(cfg.hidden_dropout)(out, deterministic=deterministic)
         return out
+
+    @nn.nowrap
+    def _standard_attention(self, cfg, q, k, v, scale, attention_mask,
+                            deterministic, b, s, width):
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+        if attention_mask is not None:
+            bias = jnp.where(attention_mask[:, None, None, :] > 0, 0.0,
+                             jnp.finfo(jnp.float32).min).astype(logits.dtype)
+            logits = logits + bias
+        probs = jax.nn.softmax(logits, axis=-1)
+        probs = nn.Dropout(cfg.attention_dropout)(
+            probs, deterministic=deterministic)
+        return jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, s, width)
 
 
 class RobertaLayer(nn.Module):

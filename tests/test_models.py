@@ -68,6 +68,19 @@ class TestRoberta:
                            batch["attention_mask"])
         np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-5)
 
+    def test_flash_attention_flag_falls_back_off_tpu(self):
+        # On CPU the flag must silently use the standard path with
+        # identical numerics.
+        cfg = RobertaConfig(**{**TINY.__dict__, "flash_attention": True})
+        model = RobertaForSequenceClassification(cfg)
+        ref = RobertaForSequenceClassification(TINY)
+        batch = tiny_batch()
+        params = ref.init(jax.random.key(0), batch["input_ids"],
+                          batch["attention_mask"])
+        a = model.apply(params, batch["input_ids"], batch["attention_mask"])
+        b = ref.apply(params, batch["input_ids"], batch["attention_mask"])
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_bf16_activations(self):
         cfg = RobertaConfig(**{**TINY.__dict__, "gelu_bits": 3,
                                "proj_dim_ratio": 0.25,
