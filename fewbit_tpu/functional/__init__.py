@@ -17,7 +17,8 @@ from fewbit_tpu.functional.activations import store  # noqa: F401
 
 # Linear layers with sketched weight gradients.
 from fewbit_tpu.functional.linear import (  # noqa: F401
-    calc_proj_dim, linear, linear_crs, linear_grp, linear_randomized)
+    calc_proj_dim, linear, linear_crs, linear_grp, linear_grp_native,
+    linear_randomized)
 
 # Gradient capture and variance estimation.
 from fewbit_tpu.functional.variance import (  # noqa: F401

@@ -46,8 +46,8 @@ import jax.numpy as jnp
 
 from fewbit_tpu.fft import dct
 
-__all__ = ("linear", "linear_crs", "linear_grp", "linear_randomized",
-           "calc_proj_dim")
+__all__ = ("linear", "linear_crs", "linear_grp", "linear_grp_native",
+           "linear_randomized", "calc_proj_dim")
 
 MATMUL_KINDS = ("gaussian", "rademacher", "dct", "dft", "countsketch")
 
@@ -182,32 +182,74 @@ def _sketch(cfg: _GRPConfig, key: jax.Array, mat: jax.Array,
     raise ValueError(f"unknown matmul kind: {cfg.matmul!r}")
 
 
+# Core VJP in natural (in, out) weight orientation — every matmul in
+# forward and backward runs without a threaded transpose (the torch-style
+# (out, in) public API transposes once at the boundary and AD transposes the
+# gradient back for free).
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _linear_grp(cfg: _GRPConfig, x, weight, bias, key):
-    return linear(x, weight, bias)
+def _linear_grp_core(cfg: _GRPConfig, x, kernel, bias, key):
+    y = jnp.einsum("...i,io->...o", x, kernel)
+    if bias is not None:
+        y = y + bias
+    return y
 
 
-def _linear_grp_fwd(cfg, x, weight, bias, key):
-    y = linear(x, weight, bias)
+def _linear_grp_core_fwd(cfg, x, kernel, bias, key):
+    y = _linear_grp_core(cfg, x, kernel, bias, key)
     x2 = x.reshape(-1, x.shape[-1])
     sketch = _sketch(cfg, key, x2, normalise=True)
-    return y, (sketch, weight, key)
+    return y, (sketch, kernel, key)
 
 
-def _linear_grp_bwd(cfg, residual, g):
-    sketch, weight, key = residual
+def _linear_grp_core_bwd(cfg, residual, g):
+    sketch, kernel, key = residual
     g2 = g.reshape(-1, g.shape[-1])
-    grad_x = (g2 @ weight).reshape(*g.shape[:-1], weight.shape[-1])
+    grad_x = (g2 @ kernel.T).reshape(*g.shape[:-1], kernel.shape[0])
     g_proj = _sketch(cfg, key, g2, normalise=False)
-    grad_w = g_proj.T @ sketch
-    if jnp.iscomplexobj(grad_w):
-        grad_w = jnp.real(grad_w)
-    grad_w = grad_w.astype(weight.dtype)
+    grad_k = sketch.T @ g_proj
+    if jnp.iscomplexobj(grad_k):
+        grad_k = jnp.real(grad_k)
+    grad_k = grad_k.astype(kernel.dtype)
     grad_b = g2.sum(axis=0) if cfg.has_bias else None
-    return grad_x.astype(g.dtype), grad_w, grad_b, _int_zero_cot(key)
+    return grad_x.astype(g.dtype), grad_k, grad_b, _int_zero_cot(key)
 
 
-_linear_grp.defvjp(_linear_grp_fwd, _linear_grp_bwd)
+_linear_grp_core.defvjp(_linear_grp_core_fwd, _linear_grp_core_bwd)
+
+
+def linear_grp_native(x: jax.Array,
+                      kernel: jax.Array,
+                      bias: Optional[jax.Array],
+                      key: jax.Array,
+                      proj_dim_ratio: Optional[float] = None,
+                      proj_dim: Optional[int] = None,
+                      proj_dim_max: Optional[int] = None,
+                      proj_dim_min: Optional[int] = None,
+                      matmul: str = "gaussian") -> jax.Array:
+    """:func:`linear_grp` with a flax-orientation ``(in, out)`` kernel —
+    the preferred entry for modules (no boundary transposes)."""
+    cfg = _validate_grp(x, proj_dim_ratio, proj_dim, proj_dim_max,
+                        proj_dim_min, matmul, bias)
+    return _linear_grp_core(cfg, x, kernel, bias, key)
+
+
+def _validate_grp(x, proj_dim_ratio, proj_dim, proj_dim_max, proj_dim_min,
+                  matmul, bias) -> _GRPConfig:
+    if proj_dim_ratio is None and proj_dim is None:
+        raise ValueError("either proj_dim or proj_dim_ratio must be given")
+    if proj_dim_min is not None and proj_dim_min <= 0:
+        raise ValueError("proj_dim_min must be strictly positive")
+    if (proj_dim_min is not None and proj_dim_max is not None
+            and proj_dim_max < proj_dim_min):
+        raise ValueError("proj_dim_min must not exceed proj_dim_max")
+    if matmul not in MATMUL_KINDS:
+        raise ValueError(
+            f"unknown matmul kind {matmul!r}; expected one of {MATMUL_KINDS}")
+    ndim = int(np.prod(x.shape[:-1]))
+    k = calc_proj_dim(ndim, proj_dim_ratio, proj_dim, proj_dim_max,
+                      proj_dim_min)
+    return _GRPConfig(proj_features=k, matmul=matmul,
+                      has_bias=bias is not None)
 
 
 def linear_grp(x: jax.Array,
@@ -227,21 +269,9 @@ def linear_grp(x: jax.Array,
     :param key: ``jax.random`` key shared (via the residual) between the
         forward sketch and the backward gradient projection.
     """
-    if proj_dim_ratio is None and proj_dim is None:
-        raise ValueError("either proj_dim or proj_dim_ratio must be given")
-    if proj_dim_min is not None and proj_dim_min <= 0:
-        raise ValueError("proj_dim_min must be strictly positive")
-    if (proj_dim_min is not None and proj_dim_max is not None
-            and proj_dim_max < proj_dim_min):
-        raise ValueError("proj_dim_min must not exceed proj_dim_max")
-    if matmul not in MATMUL_KINDS:
-        raise ValueError(
-            f"unknown matmul kind {matmul!r}; expected one of {MATMUL_KINDS}")
-    ndim = int(np.prod(x.shape[:-1]))
-    k = calc_proj_dim(ndim, proj_dim_ratio, proj_dim, proj_dim_max,
-                      proj_dim_min)
-    cfg = _GRPConfig(proj_features=k, matmul=matmul, has_bias=bias is not None)
-    return _linear_grp(cfg, x, weight, bias, key)
+    cfg = _validate_grp(x, proj_dim_ratio, proj_dim, proj_dim_max,
+                        proj_dim_min, matmul, bias)
+    return _linear_grp_core(cfg, x, weight.T, bias, key)
 
 
 linear_randomized = linear_grp  # Prettier alias (reference parity).

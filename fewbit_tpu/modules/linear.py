@@ -22,7 +22,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from fewbit_tpu.functional.linear import linear_crs, linear_grp
+from fewbit_tpu.functional.linear import linear_crs, linear_grp_native
 
 __all__ = ("RandomizedDense", "LinearGRP", "RandomizedLinear", "DenseCRS",
            "LinearCRS")
@@ -73,14 +73,14 @@ class RandomizedDense(_SketchedBase):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         x, kernel, bias = self._params(x)
-        # functional layer uses torch-convention (out, in) weights; the
-        # transpose fuses into the dot, no copy materialises.
-        return linear_grp(x, kernel.T, bias, self._key(),
-                          proj_dim_ratio=self.proj_dim_ratio,
-                          proj_dim=self.proj_dim,
-                          proj_dim_max=self.proj_dim_max,
-                          proj_dim_min=self.proj_dim_min,
-                          matmul=self.matmul)
+        # Natural (in, out) kernel orientation end to end — no boundary
+        # transposes threading through forward/backward/residuals.
+        return linear_grp_native(x, kernel, bias, self._key(),
+                                 proj_dim_ratio=self.proj_dim_ratio,
+                                 proj_dim=self.proj_dim,
+                                 proj_dim_max=self.proj_dim_max,
+                                 proj_dim_min=self.proj_dim_min,
+                                 matmul=self.matmul)
 
 
 class DenseCRS(_SketchedBase):

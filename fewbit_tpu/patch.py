@@ -41,7 +41,7 @@ def use_fewbit_dense(proj_dim_ratio: Optional[float] = None,
     """
     import flax.linen as nn
 
-    from fewbit_tpu.functional.linear import linear_grp
+    from fewbit_tpu.functional.linear import linear_grp_native
 
     original = nn.Dense.__call__
 
@@ -59,10 +59,11 @@ def use_fewbit_dense(proj_dim_ratio: Optional[float] = None,
             key = self.make_rng("sketch")
         else:
             key = jax.random.key(0)
-        return linear_grp(x, kernel.T, bias, key,
-                          proj_dim_ratio=proj_dim_ratio, proj_dim=proj_dim,
-                          proj_dim_min=proj_dim_min,
-                          proj_dim_max=proj_dim_max, matmul=matmul)
+        return linear_grp_native(x, kernel, bias, key,
+                                 proj_dim_ratio=proj_dim_ratio,
+                                 proj_dim=proj_dim,
+                                 proj_dim_min=proj_dim_min,
+                                 proj_dim_max=proj_dim_max, matmul=matmul)
 
     # Replicate what linen's metaclass does at class creation: mark the
     # method compact and wrap it for scope management.
