@@ -92,6 +92,30 @@ def _int_zero_cot(a: jax.Array):
     return np.zeros(a.shape, dtype=jax.dtypes.float0)
 
 
+def _countsketch_partition(n: int, k: int):
+    """Pick a tile-friendly stride partition for the countsketch.
+
+    Returns ``(block, k_eff)`` with ``block * k_eff == n`` and ``k_eff >= k``
+    (never *less* accurate than requested), or ``None`` when no exact
+    partition exists within a 2x bucket budget.  An exact partition lets the
+    bucket reduction lower to one aligned ``reshape(block, k_eff, d).sum(0)``
+    — on TPU the inexact variant (slice + tail fold, with a bucket count that
+    is not a multiple of the 8-row sublane tile) costs 2-3x the HBM-bandwidth
+    bound, which dominated the whole RandomizedLinear step overhead.
+    """
+    if k >= n:
+        return 1, n
+    for block in range(n // k, 0, -1):
+        if n % block:
+            continue
+        k_eff = n // block
+        if k_eff > 2 * k:
+            return None
+        if k_eff % 8 == 0 or block == 1:
+            return block, k_eff
+    return None
+
+
 def _dense_proj_chunks(n: int, k: int) -> int:
     """Row-chunk size for dense projections: the transient (k, chunk)
     projection block is generated on the fly and freed chunk by chunk, so
@@ -154,10 +178,16 @@ def _sketch(cfg: _GRPConfig, key: jax.Array, mat: jax.Array,
                  * 2.0 - 1.0)
         signed = mat * signs[:, None]
         d = mat.shape[1]
+        part = _countsketch_partition(n, k)
+        if part is not None:
+            # Exact tile-aligned partition (possibly more buckets than
+            # requested — never fewer): one aligned reshape-sum, which XLA
+            # lowers at full HBM bandwidth.
+            block, k_eff = part
+            if block == 1:
+                return signed
+            return signed.reshape(block, k_eff, d).sum(axis=0)
         block = n // k
-        if block == 0:
-            out = jnp.zeros((k, d), mat.dtype)
-            return out.at[:n].add(signed)
         main = signed[:block * k].reshape(block, k, d).sum(axis=0)
         rem = n - block * k
         if rem:
