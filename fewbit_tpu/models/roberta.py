@@ -64,6 +64,13 @@ class RobertaConfig:
     # sharding.  ``num_heads`` / ``intermediate_size`` stay the GLOBAL sizes.
     tp_axis: Optional[str] = None
     tp_size: int = 1
+    # FFN structure with gelu_bits set: True fuses the up projection +
+    # activation + quantise + pack into one Pallas megakernel (the
+    # pre-activation never reaches HBM); False keeps the XLA matmul and runs
+    # only the activation+pack as a Pallas elementwise kernel.  The residual
+    # memory is identical; which is faster depends on shape (the XLA MXU
+    # matmul is hard to beat, the megakernel saves one HBM round trip).
+    fused_ffn: bool = True
     # Pallas TPU flash attention: attention probabilities are never
     # materialised in HBM (another large activation-memory consumer the
     # reference never addresses — it has no attention code at all).  TPU
@@ -213,7 +220,7 @@ class RobertaLayer(nn.Module):
         # projection + activation + quantise + pack run as ONE Pallas kernel
         # (the fp32 pre-activation never reaches HBM).
         inner_features = cfg.intermediate_size // cfg.tp_size
-        if cfg.gelu_bits:
+        if cfg.gelu_bits and cfg.fused_ffn:
             from fewbit_tpu.modules.fused import FusedDenseActivation
 
             inner = FusedDenseActivation(

@@ -22,7 +22,7 @@ from jax import lax
 
 __all__ = ("TrainConfig", "TrainState", "make_schedule", "make_optimizer",
            "create_train_state", "make_train_step", "make_eval_step",
-           "save_checkpoint", "restore_checkpoint")
+           "causal_lm_loss", "save_checkpoint", "restore_checkpoint")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -75,6 +75,15 @@ def _model_inputs(batch):
 def classification_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
     return optax.softmax_cross_entropy_with_integer_labels(
         logits.astype(jnp.float32), labels).mean()
+
+
+def causal_lm_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Next-token cross entropy; ``labels`` are pre-shifted (label at
+    position t = token t+1) with negative values masked out."""
+    valid = labels >= 0
+    per_tok = optax.softmax_cross_entropy_with_integer_labels(
+        logits.astype(jnp.float32), jnp.maximum(labels, 0))
+    return (per_tok * valid).sum() / jnp.maximum(valid.sum(), 1)
 
 
 def make_train_step(model: nn.Module, dp_axis: Optional[str] = None,
