@@ -105,6 +105,10 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--parity", action="store_true",
                    help="approximate on [0, domain] (symmetric derivative)")
 
+    h = sub.add_parser("help", help="show help for a command")
+    h.add_argument("topic", nargs="?", default=None,
+                   help="command to describe (e.g. quantize)")
+
     sub.add_parser("version", help="show version")
     return parser
 
@@ -116,6 +120,17 @@ def main(argv=None) -> int:
                         level=LOG_LEVELS[args.log_level], stream=sys.stderr)
     if args.command == "version":
         print(f"fewbit-tpu {__version__}")
+        return 0
+    if args.command == "help":
+        # Reference parity: ``fewbit help <command>`` prints the command's
+        # usage (``/root/reference/fewbit/cli.py:169-177``).
+        if args.topic is None:
+            parser.print_help()
+            return 0
+        try:
+            parser.parse_args([args.topic, "--help"])
+        except SystemExit as exc:
+            return int(exc.code or 0)
         return 0
     if args.command == "quantize":
         import jax

@@ -229,7 +229,10 @@ def stepwise(x: jax.Array,
         xs = x - s if s else x
         base = compare_codes(jnp.abs(xs), b, args)
         if parity:
-            base = base + jnp.where(xs < 0, jnp.uint32(levels.shape[0]),
+            # The negative half-table starts at the *padded* half size
+            # (1 << bits), not at len(levels) — they differ whenever the user
+            # LUT is not a power of two.
+            base = base + jnp.where(xs < 0, jnp.uint32(1 << bits),
                                     jnp.uint32(0))
         return base
 

@@ -41,6 +41,10 @@ def estimate_variance_sgd(x: jax.Array, g: jax.Array,
                           batch_size: Optional[int] = None) -> jax.Array:
     """Variance of the SGD weight-gradient estimator over row subsampling."""
     bs = batch_size if batch_size else x.shape[0]
+    if bs < 2:
+        raise ValueError(
+            f"estimate_variance_sgd needs a batch of at least 2 rows "
+            f"(got {bs}); the unbiased variance divides by batch_size - 1")
     fst = bs / (bs - 1)
     snd = 1.0 / (bs - 1)
     xs = jnp.sum(x * x, axis=1)

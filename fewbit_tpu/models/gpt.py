@@ -59,10 +59,19 @@ class GPTConfig:
     tp_axis: Optional[str] = None
     tp_size: int = 1
     # Pallas TPU flash attention (causal); off-TPU silently uses the
-    # standard masked path.
+    # standard masked path.  The flash kernel has no dropout inside, so
+    # flash_attention=True requires attention_dropout == 0 (enforced below,
+    # matching RobertaConfig).
     flash_attention: bool = False
     # GPT-2 ties the LM head to the token embedding.
     tie_lm_head: bool = True
+
+    def __post_init__(self):
+        if self.flash_attention and self.attention_dropout > 0:
+            raise ValueError(
+                "flash_attention=True cannot apply attention dropout (the "
+                "flash kernel never materialises attention probabilities); "
+                "set attention_dropout=0.0 explicitly to opt in")
 
     @property
     def head_dim(self) -> int:
@@ -199,6 +208,12 @@ class GPTModel(nn.Module):
                  deterministic: bool = True, logits: bool = False):
         cfg = self.cfg
         s = input_ids.shape[-1]
+        if s > cfg.max_position_embeddings:
+            # Without this check nn.Embed's gather would silently clamp
+            # out-of-range position ids to the last learned position.
+            raise ValueError(
+                f"sequence length {s} exceeds max_position_embeddings="
+                f"{cfg.max_position_embeddings}")
         embed = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=cfg.dtype,
                          name="word_embeddings")
         positions = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size,

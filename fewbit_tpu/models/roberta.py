@@ -74,9 +74,18 @@ class RobertaConfig:
     # Pallas TPU flash attention: attention probabilities are never
     # materialised in HBM (another large activation-memory consumer the
     # reference never addresses — it has no attention code at all).  TPU
-    # only; other backends silently use the standard path.  Attention
-    # dropout is skipped under flash attention.
+    # only; other backends silently use the standard path.  The flash kernel
+    # has no dropout inside, so flash_attention=True requires
+    # attention_dropout == 0 (enforced below — a silent train-time behaviour
+    # change would otherwise hide in the kernel choice).
     flash_attention: bool = False
+
+    def __post_init__(self):
+        if self.flash_attention and self.attention_dropout > 0:
+            raise ValueError(
+                "flash_attention=True cannot apply attention dropout (the "
+                "flash kernel never materialises attention probabilities); "
+                "set attention_dropout=0.0 explicitly to opt in")
 
     @property
     def head_dim(self) -> int:

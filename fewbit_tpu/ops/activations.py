@@ -112,13 +112,20 @@ def compare_codes(x: jax.Array, borders: jax.Array, args: tuple) -> jax.Array:
 
 
 def apply_lut(codes: jax.Array, levels: jax.Array, bits: int) -> jax.Array:
-    """``levels[codes]`` as a select chain (no gather: the table has at most
-    16 entries, so an unrolled where-chain fuses into the surrounding
-    elementwise work)."""
-    mult = jnp.full(codes.shape, levels[0], dtype=levels.dtype)
-    for k in range(1, 1 << bits):
-        mult = jnp.where(codes == jnp.uint32(k), levels[k], mult)
-    return mult
+    """``levels[codes]`` as a balanced select tree (no gather).
+
+    One boolean mask per code bit, then ``2**bits - 1`` selects arranged as a
+    tree of depth ``bits`` — the same structure as the Pallas backward kernel.
+    Unlike a linear ``codes == k`` chain this has no O(2**bits) sequential
+    dependency and no integer compares, so it stays cheap even at the 256-level
+    maximum of the generic ``stepwise`` op (8 masks + 255 independent selects
+    vs 255 *chained* compare+selects)."""
+    vals = [levels[k] for k in range(1 << bits)]
+    for b in range(bits):
+        mask = ((codes >> jnp.uint32(b)) & jnp.uint32(1)).astype(bool)
+        vals = [jnp.where(mask, vals[2 * k + 1], vals[2 * k])
+                for k in range(len(vals) // 2)]
+    return vals[0]
 
 
 def quantize_codes(x: jax.Array, borders: jax.Array) -> jax.Array:

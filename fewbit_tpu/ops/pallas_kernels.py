@@ -66,12 +66,49 @@ def _eligible(spec, shape, dtype) -> bool:
         return False
     if dtype not in (jnp.float32.dtype, jnp.bfloat16.dtype):
         return False
-    # Custom code functions that *use* borders (generic user stepwise with
-    # parity) are not lowered yet; predicate functions (n_borders == 0) and
-    # the standard compare path are.
-    if spec.n_borders > 0 and spec.codes is not compare_codes:
+    # Border-based code functions the kernels know how to compute: the
+    # standard compare path, and the generic user ``stepwise`` whose
+    # shift/parity transform is recovered from static ``spec.args`` (compile-
+    # time scalars — see ``_compute_codes``).  Other custom closures fall
+    # back.  The unrolled compare/select trees stay reasonable up to 6 bits
+    # (63 compares forward, 63 selects backward); 7-8-bit user LUTs take the
+    # jnp path.
+    if spec.bits > 6:
+        return False
+    if (spec.n_borders > 0 and spec.codes is not compare_codes
+            and spec.name != "stepwise"):
         return False
     return True
+
+
+def _compute_codes(spec, z, borders_ref) -> jax.Array:
+    """Interval codes of a VMEM-resident block, shared by the elementwise
+    and dense-epilogue forward kernels.
+
+    For the generic ``stepwise`` op, ``spec.args = (shift, offset, parity)``
+    are static Python scalars, so the recentring/|.|/sign-bit transform
+    compiles straight into the kernel — no extra SMEM operands needed.
+    """
+    zf = z.astype(jnp.float32)
+    if spec.n_borders == 0:
+        return spec.codes(z, None, spec.args).astype(jnp.uint32)
+    parity = -1
+    if spec.name == "stepwise":
+        s, _t, parity = spec.args
+        if s:
+            zf = zf - jnp.float32(s)
+        basis = jnp.abs(zf) if parity >= 0 else zf
+    else:
+        basis = zf
+    codes = jnp.zeros(z.shape, dtype=jnp.uint32)
+    for k in range(spec.n_borders):
+        codes += (basis > borders_ref[0, k]).astype(jnp.uint32)
+    if parity == 1:
+        # Odd derivative: the sign occupies the top code bit; the negative
+        # half-table starts at the padded half size 1 << (bits - 1).
+        half = jnp.uint32(1 << (spec.bits - 1))
+        codes += jnp.where(zf < 0, half, jnp.uint32(0))
+    return codes
 
 
 def _flat_rc(shape) -> Tuple[int, int]:
@@ -88,20 +125,12 @@ def _flat_rc(shape) -> Tuple[int, int]:
 
 
 def _forward_kernel(spec, br, bc, borders_ref, x_ref, y_ref, packed_ref):
-    from fewbit_tpu.ops.activations import compare_codes
-
     gr = br // GROUP
     xb = x_ref[:]
     fwd = spec.fwd_kernel or spec.fwd
     y_ref[:] = fwd(xb, spec.args).astype(y_ref.dtype)
 
-    xf = xb.astype(jnp.float32)
-    if spec.n_borders > 0:
-        codes = jnp.zeros((br, bc), dtype=jnp.uint32)
-        for k in range(spec.n_borders):
-            codes += (xf > borders_ref[0, k]).astype(jnp.uint32)
-    else:
-        codes = spec.codes(xb, None, spec.args).astype(jnp.uint32)
+    codes = _compute_codes(spec, xb, borders_ref)
 
     for b in range(spec.bits):
         plane = (codes >> b) & jnp.uint32(1)
@@ -263,12 +292,7 @@ def _dense_act_kernel(spec, bn, bm, bk, n_k, borders_ref, x_ref, w_ref,
         z = acc_ref[:] + bias_ref[0, :][None, :]
         fwd = spec.fwd_kernel or spec.fwd
         y_ref[:] = fwd(z, spec.args).astype(y_ref.dtype)
-        if spec.n_borders > 0:
-            codes = jnp.zeros((bn, bm), dtype=jnp.uint32)
-            for k in range(spec.n_borders):
-                codes += (z > borders_ref[0, k]).astype(jnp.uint32)
-        else:
-            codes = spec.codes(z, None, spec.args).astype(jnp.uint32)
+        codes = _compute_codes(spec, z, borders_ref)
         for b in range(spec.bits):
             plane = (codes >> b) & jnp.uint32(1)
             word = jnp.zeros((gr, bm), dtype=jnp.uint32)
@@ -293,7 +317,10 @@ def fused_dense_act(spec, x: jax.Array, w: jax.Array, bias, borders
         return None
     from fewbit_tpu.ops.activations import compare_codes
 
-    if spec.n_borders > 0 and spec.codes is not compare_codes:
+    if spec.bits > 6:
+        return None
+    if (spec.n_borders > 0 and spec.codes is not compare_codes
+            and spec.name != "stepwise"):
         return None
 
     # Same (row, col) block geometry as the elementwise kernels so the

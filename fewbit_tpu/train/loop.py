@@ -77,13 +77,26 @@ def classification_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
         logits.astype(jnp.float32), labels).mean()
 
 
-def causal_lm_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
-    """Next-token cross entropy; ``labels`` are pre-shifted (label at
-    position t = token t+1) with negative values masked out."""
+def _causal_lm_sum_count(logits: jax.Array, labels: jax.Array):
+    """(loss sum over valid tokens, valid-token count) — the decomposition
+    the dp step uses to weight shards by their true token counts."""
     valid = labels >= 0
     per_tok = optax.softmax_cross_entropy_with_integer_labels(
         logits.astype(jnp.float32), jnp.maximum(labels, 0))
-    return (per_tok * valid).sum() / jnp.maximum(valid.sum(), 1)
+    return (per_tok * valid).sum(), valid.sum()
+
+
+def causal_lm_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Next-token cross entropy; ``labels`` are pre-shifted (label at
+    position t = token t+1) with negative values masked out."""
+    total, count = _causal_lm_sum_count(logits, labels)
+    return total / jnp.maximum(count, 1)
+
+
+# Marks the loss as token-weighted: under dp the step combines shard losses
+# via globally psum-ed (sum, count) instead of a pmean of per-shard means,
+# which would be biased whenever shards hold unequal valid-token counts.
+causal_lm_loss.sum_count = _causal_lm_sum_count
 
 
 def make_train_step(model: nn.Module, dp_axis: Optional[str] = None,
@@ -100,11 +113,22 @@ def make_train_step(model: nn.Module, dp_axis: Optional[str] = None,
             key = jax.random.fold_in(key, lax.axis_index(dp_axis))
         dropout_key, sketch_key = jax.random.split(key)
 
+        sum_count = getattr(loss_fn, "sum_count", None)
+
         def compute_loss(params):
             logits = state.apply_fn(
                 {"params": params}, *_model_inputs(batch),
                 deterministic=False,
                 rngs={"dropout": dropout_key, "sketch": sketch_key})
+            if dp_axis is not None and sum_count is not None:
+                # Token-weighted loss: divide each shard's loss *sum* by the
+                # GLOBAL valid-token count (psum), scaled by the axis size so
+                # the later pmean of gradients/metrics recovers exactly
+                # sum_i s_i / n_total — unbiased under unequal shard counts.
+                total, count = sum_count(logits, batch["labels"])
+                n_total = lax.psum(count, dp_axis)
+                d = lax.psum(1, dp_axis)
+                return total * d / jnp.maximum(n_total, 1)
             return loss_fn(logits, batch["labels"])
 
         loss, grads = jax.value_and_grad(compute_loss)(state.params)

@@ -186,3 +186,17 @@ def test_2layer_mlp_parity():
         cos = np.sum(np.asarray(ge) * np.asarray(gf)) / (
             np.linalg.norm(ge) * np.linalg.norm(gf))
         assert cos > 0.99
+
+
+def test_generic_stepwise_parity_nonpow2_lut():
+    """Odd-parity LUT with a non-power-of-two level count: the negative
+    half-table offset must be the padded half size (1 << bits), not
+    len(levels)."""
+    borders = jnp.asarray([0.5, 1.5])
+    levels = jnp.asarray([0.1, 0.5, 0.9])
+    g = jax.grad(
+        lambda x: F.stepwise(x, borders, levels, parity=True).sum())(XS)
+    x = np.asarray(XS)
+    mag = np.where(np.abs(x) > 1.5, 0.9, np.where(np.abs(x) > 0.5, 0.5, 0.1))
+    expected = np.where(x < 0, -mag, mag)
+    np.testing.assert_allclose(np.asarray(g), expected, atol=1e-6)

@@ -42,3 +42,13 @@ def test_quantize_loadable_by_store(tmp_path):
 
 def test_usage_without_command(capsys):
     assert main([]) == 0
+
+
+def test_help_subcommand(capsys):
+    assert main(["help"]) == 0
+    assert "quantize" in capsys.readouterr().out
+
+
+def test_help_topic(capsys):
+    assert main(["help", "quantize"]) == 0
+    assert "nobits" in capsys.readouterr().out

@@ -71,7 +71,8 @@ class TestRoberta:
     def test_flash_attention_flag_falls_back_off_tpu(self):
         # On CPU the flag must silently use the standard path with
         # identical numerics.
-        cfg = RobertaConfig(**{**TINY.__dict__, "flash_attention": True})
+        cfg = RobertaConfig(**{**TINY.__dict__, "flash_attention": True,
+                               "attention_dropout": 0.0})
         model = RobertaForSequenceClassification(cfg)
         ref = RobertaForSequenceClassification(TINY)
         batch = tiny_batch()
@@ -188,3 +189,11 @@ class TestTrainLoop:
         a = jax.tree_util.tree_leaves(state.params)[0]
         b = jax.tree_util.tree_leaves(restored.params)[0]
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_flash_attention_requires_zero_attention_dropout():
+    with pytest.raises(ValueError, match="attention dropout"):
+        RobertaConfig(**{**TINY.__dict__, "flash_attention": True})
+    cfg = RobertaConfig(**{**TINY.__dict__, "flash_attention": True,
+                           "attention_dropout": 0.0})
+    assert cfg.flash_attention

@@ -104,3 +104,28 @@ def test_unpack_block_layout_mirror(interpret_mode):
     expected = np.sum(
         np.asarray(x)[..., None] > np.asarray(borders), axis=-1)
     np.testing.assert_array_equal(np.asarray(codes), expected)
+
+
+@pytest.mark.parametrize("parity,shift", [
+    (None, None),
+    (None, (0.5, 0.1)),
+    (False, None),
+    (True, None),
+    (True, (0.25, 0.0)),
+], ids=["plain", "shifted", "even", "odd", "odd-shifted"])
+def test_generic_stepwise_pallas(interpret_mode, parity, shift, monkeypatch):
+    """The generic user-LUT stepwise op must lower to the fused kernels
+    (shift/parity recovered from static spec args) with gradients identical
+    to the jnp path."""
+    borders = jnp.asarray([-0.5, 0.8] if parity is None else [0.4, 0.9])
+    levels = jnp.asarray([0.1, 0.5, 0.9])  # non-power-of-two on purpose
+    x = jnp.asarray(np.random.RandomState(7).randn(64, 256), jnp.float32)
+
+    def fn(t):
+        return F.stepwise(t, borders, levels, parity=parity, shift=shift)
+
+    y_pal, dx_pal = run_fwd_bwd(fn, x)
+    monkeypatch.setenv("FEWBIT_TPU_NATIVE", "0")
+    y_jnp, dx_jnp = run_fwd_bwd(fn, x)
+    np.testing.assert_array_equal(y_pal, y_jnp)
+    np.testing.assert_array_equal(dx_pal, dx_jnp)

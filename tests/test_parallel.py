@@ -126,3 +126,44 @@ def test_residuals_stay_sharded():
               check_vma=False)(x)
     local_words = -(-64 // 32)  # 1 row x 64 cols per device
     assert shape_holder[0] == (3, local_words)
+
+
+def test_dp_token_weighted_causal_loss():
+    """Under dp, a token-weighted LM loss must divide by the GLOBAL valid
+    count: with unequal valid tokens per shard the dp step has to equal the
+    single-device step on the full batch (loss AND updated params)."""
+    from fewbit_tpu.models import GPTConfig, GPTForCausalLM
+    from fewbit_tpu.train import causal_lm_loss
+
+    cfg = GPTConfig(vocab_size=64, hidden_size=16, num_layers=1, num_heads=2,
+                    intermediate_size=32, max_position_embeddings=16,
+                    hidden_dropout=0.0, attention_dropout=0.0)
+    model = GPTForCausalLM(cfg)
+    mesh = make_mesh()
+
+    rng = np.random.RandomState(0)
+    ids = rng.randint(0, 64, (16, 8))
+    labels = ids.copy()
+    labels[8:, 2:] = -100  # second half of the shards nearly empty
+    batch = {"input_ids": jnp.asarray(ids),
+             "attention_mask": jnp.ones((16, 8), jnp.int32),
+             "labels": jnp.asarray(labels)}
+    state = create_train_state(
+        model, TrainConfig(total_steps=4, learning_rate=1e-3), batch)
+
+    ref_step = jax.jit(make_train_step(model, loss_fn=causal_lm_loss))
+    ref_state, ref_metrics = ref_step(state, batch, jax.random.key(0))
+
+    dp_step = data_parallel_step(
+        make_train_step(model, dp_axis="dp", loss_fn=causal_lm_loss), mesh,
+        donate_state=False)
+    dp_state, dp_metrics = dp_step(replicate(state, mesh),
+                                   shard_batch(batch, mesh),
+                                   jax.random.key(0))
+
+    np.testing.assert_allclose(float(dp_metrics["loss"]),
+                               float(ref_metrics["loss"]), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-6),
+        ref_state.params, dp_state.params)

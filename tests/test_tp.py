@@ -42,12 +42,10 @@ def test_dp_tp_step_runs(dp, tp):
     assert np.isfinite(float(metrics["loss"]))
     assert int(jax.device_get(new_state.step)) == 1
 
-    # Sharded kernels: intermediate kernel global last dim must be the full
-    # intermediate size (tp-sharded), i.e. each shard holds 1/tp of it.
+    # Sharded kernels: the global (unsharded) view of the intermediate
+    # kernel is (L, hidden, inter_local * tp) == (2, 32, 64); each tp shard
+    # holds 1/tp of the last dim.
     inter = new_state.params["roberta"]["layers"]["intermediate"]["kernel"]
-    assert inter.shape == (2, 32, 64 // tp * tp // tp * tp // tp * 0 + 64) \
-        if False else True
-    # Global (unsharded) view: (L, hidden, inter_local * tp) == (2, 32, 64).
     assert inter.shape == (2, 32, 64)
 
 

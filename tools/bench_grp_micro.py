@@ -74,21 +74,25 @@ def main():
 
         cfg = _GRPConfig(proj_features=int(0.2 * N), matmul="countsketch",
                          has_bias=False)
-        acc0 = jnp.zeros((2048, d_in), jnp.float32)
+        # The sketch's bucket count comes from the tile-friendly partition
+        # (which may round k up); derive the accumulator shape from it so the
+        # two can never drift apart.
+        k_eff = jax.eval_shape(
+            lambda a: _sketch(cfg, key, a, normalise=True), x).shape[0]
+        acc0 = jnp.zeros((k_eff, d_in), jnp.float32)
 
-        def sk_step(i, acc, arr, dt):
+        def sk_step(i, acc, arr):
             s = _sketch(cfg, jax.random.fold_in(key, i), arr,
                         normalise=True)
             return acc + s.astype(jnp.float32)
 
-        t_sk = amortise(partial(sk_step, arr=x, dt=jnp.float32), acc0)
+        t_sk = amortise(partial(sk_step, arr=x), acc0)
         xb = x.astype(jnp.bfloat16)
-        t_skb = amortise(partial(sk_step, arr=xb, dt=jnp.bfloat16), acc0)
+        t_skb = amortise(partial(sk_step, arr=xb), acc0)
         log(f"  countsketch (N,{d_in})->k: f32 {t_sk:.3f} ms, "
             f"bf16 {t_skb:.3f} ms")
 
         g = jax.random.normal(jax.random.key(3), (N, d_out), jnp.float32)
-        k_eff = 2048
 
         def gw_step_full(i, acc):
             return acc * 0.5 + x.T @ (g + acc[0, 0])
