@@ -24,7 +24,48 @@ import numpy as np
 
 import jax.numpy as jnp
 
-__all__ = ("dct", "idct")
+__all__ = ("dct", "idct", "fwht")
+
+
+def _hadamard(n: int) -> np.ndarray:
+    """Sylvester-construction Hadamard matrix, n a power of two."""
+    h = np.ones((1, 1), dtype=np.float32)
+    while h.shape[0] < n:
+        h = np.block([[h, h], [h, -h]])
+    return h
+
+
+def fwht(x: jnp.ndarray, norm: str = "ortho") -> jnp.ndarray:
+    """Walsh-Hadamard transform along axis 0 (rows); power-of-two length.
+
+    TPU-first formulation: instead of log2(N) sequential butterfly stages
+    (VPU-bound, N reshapes), the transform factors as a Kronecker product
+    ``H_N = H_a (x) H_b`` with ``a*b = N`` — two *matmuls* with small
+    constant Hadamard matrices that run on the MXU:
+    ``(H_N X).reshape(a,b,d) = H_a @ (X.reshape(a,b,d) @_b H_b)``.
+    This is the structured transform behind the ``srht`` sketch — the
+    TPU-usable replacement for the reference's complex-FFT ``dft`` sketch
+    (``/root/reference/fewbit/functional/linear.py:130-148``), which this
+    backend cannot lower.
+    """
+    n = x.shape[0]
+    if n & (n - 1):
+        raise ValueError(f"fwht length must be a power of two, got {n}")
+    log2 = n.bit_length() - 1
+    a = 1 << (log2 // 2)
+    b = n // a
+    ha = jnp.asarray(_hadamard(a), dtype=x.dtype)
+    hb = jnp.asarray(_hadamard(b), dtype=x.dtype)
+    tail = x.shape[1:]
+    y = x.reshape((a, b) + tail)
+    y = jnp.einsum("bq,aq...->ab...", hb, y)
+    y = jnp.einsum("ap,pb...->ab...", ha, y)
+    y = y.reshape((n,) + tail)
+    if norm == "ortho":
+        return y * (1.0 / np.sqrt(n))
+    if norm == "backward":
+        return y
+    raise ValueError(f"unknown norm: {norm!r}")
 
 
 def _ortho_scale(n: int) -> np.ndarray:

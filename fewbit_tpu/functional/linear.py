@@ -25,6 +25,12 @@ Sketch types (reference parity: ``functional/linear.py:113-148``):
   suite only exercises the gaussian path, ``modules/linear_test.py:95-104``.
   The ``N/k`` factor here is the unbiased one — verified by the Monte-Carlo
   tests in ``tests/test_linear.py``.)
+* ``srht`` — subsampled randomized Hadamard transform (random signs +
+  Kronecker-factored Walsh-Hadamard as two MXU matmuls + row subsampling).
+  The structured sketch that actually lowers on TPU (dct/dft need a complex
+  FFT this backend lacks) — net-new relative to the reference.
+* ``countsketch`` — signed bucket sum over a fixed stride partition; one
+  O(N d) memory pass, no FLOPs on the MXU.  TPU-recommended default.
 
 ``linear_crs`` implements column-row sampling: backward keeps ``nopairs``
 input *feature columns* sampled uniformly with replacement
@@ -44,12 +50,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from fewbit_tpu.fft import dct
+from fewbit_tpu.fft import dct, fwht
 
 __all__ = ("linear", "linear_crs", "linear_grp", "linear_grp_native",
            "linear_randomized", "calc_proj_dim")
 
-MATMUL_KINDS = ("gaussian", "rademacher", "dct", "dft", "countsketch")
+MATMUL_KINDS = ("gaussian", "rademacher", "dct", "dft", "countsketch",
+                "srht")
 
 
 def calc_proj_dim(ndim: int,
@@ -195,6 +202,28 @@ def _sketch(cfg: _GRPConfig, key: jax.Array, mat: jax.Array,
             # add, no pad copy of the whole batch.
             main = main.at[:rem].add(signed[block * k:])
         return main
+    if cfg.matmul == "srht":
+        # Subsampled Randomized Hadamard Transform: rows of H_orth D mat,
+        # D = random signs, H the Kronecker-factored Walsh-Hadamard (two MXU
+        # matmuls — see fewbit_tpu.fft.fwht).  The TPU-usable structured
+        # sketch: the reference's dft/dct variants need a complex FFT this
+        # backend cannot lower, and unlike plain dct-row-sampling the sign
+        # randomisation D makes the estimator robust to coherent inputs.
+        # Unbiasedness: E[S^T S] = (k/n_p) I under uniform row sampling with
+        # replacement, and D H^T H D = I, so scaling by n_p/k gives
+        # E[(P g)^T (P x) * n_p/k] = g^T x.
+        sign_key = jax.random.fold_in(key, 0)
+        row_key = jax.random.fold_in(key, 1)
+        n_p = 1 << (max(n - 1, 1)).bit_length()
+        signs = (jax.random.bernoulli(sign_key, 0.5, (n,)).astype(mat.dtype)
+                 * 2.0 - 1.0)
+        signed = mat * signs[:, None]
+        if n_p != n:
+            signed = jnp.pad(signed, ((0, n_p - n), (0, 0)))
+        transformed = fwht(signed, norm="ortho")
+        rows = jax.random.randint(row_key, (k,), 0, n_p)
+        out = jnp.take(transformed, rows, axis=0)
+        return out * (n_p / k) if normalise else out
     if cfg.matmul == "dct":
         rows = jax.random.randint(key, (k,), 0, n)
         transformed = dct(mat, type=2, axis=0, norm="ortho")

@@ -1,0 +1,172 @@
+"""Multi-host (pod-slice) bootstrap and DCN-aware mesh construction.
+
+The reference library is strictly single-device/single-process (SURVEY.md
+§2.3 — no ``torch.distributed`` import anywhere); scaling over a TPU pod
+slice is a net-new capability of this framework.  The JAX multi-host model:
+every host runs the *same* program, ``jax.distributed.initialize`` wires the
+processes together, and ``jax.devices()`` then returns the global device
+list.  Sharded computation code does not change — what changes is the mesh
+layout, which must keep fast ICI neighbours together and let only the
+data-parallel axis cross the slow DCN (inter-host) links.
+
+:func:`make_pod_mesh` builds a ``(dp, tp)`` mesh ordered **host-major**: the
+``tp`` axis (heavy per-layer psums) never crosses a host boundary, and the
+``dp`` gradient all-reduce decomposes into intra-host ICI reductions plus a
+single inter-host DCN exchange — XLA lowers the hierarchical reduction
+automatically once the device order encodes the topology.
+
+Launch recipe (N >= 2 hosts), e.g. with two processes::
+
+    # host 0                                   # host 1
+    FEWBIT_COORDINATOR=host0:8476 \
+    FEWBIT_NUM_PROCESSES=2 \
+    FEWBIT_PROCESS_ID=0 python train.py        ... FEWBIT_PROCESS_ID=1 ...
+
+and in ``train.py``::
+
+    from fewbit_tpu.parallel import init_distributed, make_pod_mesh
+    init_distributed()          # no-op when the env vars are absent
+    mesh = make_pod_mesh(tp=1)  # dp spans hosts, host-major
+
+On Cloud TPU pod slices the coordinator/process variables are auto-detected
+by JAX itself, so ``init_distributed()`` with no arguments and no env vars
+defers to that auto-detection whenever more than one process is expected.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh
+
+__all__ = ("init_distributed", "make_pod_mesh", "pod_mesh_spec",
+           "host_groups")
+
+_ENV_COORD = ("FEWBIT_COORDINATOR", "JAX_COORDINATOR_ADDRESS")
+_ENV_NPROC = ("FEWBIT_NUM_PROCESSES",)
+_ENV_PID = ("FEWBIT_PROCESS_ID",)
+
+
+def _env_first(names: Sequence[str]) -> Optional[str]:
+    for name in names:
+        value = os.environ.get(name)
+        if value:
+            return value
+    return None
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None,
+                     local_device_ids=None) -> Tuple[int, int]:
+    """Initialise the multi-host runtime; returns ``(process_id, n_processes)``.
+
+    Thin, idempotent wrapper over ``jax.distributed.initialize``:
+
+    * explicit arguments win;
+    * otherwise ``FEWBIT_COORDINATOR`` / ``FEWBIT_NUM_PROCESSES`` /
+      ``FEWBIT_PROCESS_ID`` (or ``JAX_COORDINATOR_ADDRESS``) configure the
+      cluster — the launch recipe in the module docstring;
+    * with neither, this is a **no-op** returning ``(0, 1)`` — single-process
+      programs (including every test in this repo and the driver's
+      ``dryrun_multichip``) pay nothing and need no special-casing.
+    """
+    if getattr(init_distributed, "_initialized", False):
+        return jax.process_index(), jax.process_count()
+
+    coordinator_address = coordinator_address or _env_first(_ENV_COORD)
+    if num_processes is None:
+        raw = _env_first(_ENV_NPROC)
+        num_processes = int(raw) if raw else None
+    if process_id is None:
+        raw = _env_first(_ENV_PID)
+        process_id = int(raw) if raw else None
+
+    if coordinator_address is None and num_processes in (None, 1):
+        return 0, 1  # single-process: nothing to wire up
+
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        local_device_ids=local_device_ids)
+    init_distributed._initialized = True
+    return jax.process_index(), jax.process_count()
+
+
+def pod_mesh_spec(n_devices: int, tp: int = 1,
+                  hosts: Optional[int] = None) -> Tuple[int, int, int]:
+    """Factorise a pod slice into ``(hosts, dp_per_host, tp)``.
+
+    Pure function (unit-testable without devices).  Invariants enforced:
+    ``hosts * dp_per_host * tp == n_devices`` and ``tp`` divides the per-host
+    device count — the tensor-parallel axis must never cross the DCN
+    boundary, where its per-layer psums would serialise on host links.
+    """
+    hosts = hosts or 1
+    if hosts <= 0 or tp <= 0:
+        raise ValueError("hosts and tp must be positive")
+    if n_devices % hosts:
+        raise ValueError(
+            f"{n_devices} devices do not split evenly over {hosts} hosts")
+    per_host = n_devices // hosts
+    if per_host % tp:
+        raise ValueError(
+            f"tp={tp} does not divide the {per_host} devices of one host; "
+            "tensor parallelism must stay inside a host's ICI domain")
+    return hosts, per_host // tp, tp
+
+
+def host_groups(devices) -> list:
+    """Group a device list by owning process (host), process-index order."""
+    by_host = {}
+    for d in devices:
+        by_host.setdefault(getattr(d, "process_index", 0), []).append(d)
+    return [by_host[k] for k in sorted(by_host)]
+
+
+def make_pod_mesh(tp: int = 1,
+                  hosts: Optional[int] = None,
+                  devices=None) -> Mesh:
+    """Host-major ``(dp, tp)`` mesh over a (multi-host) pod slice.
+
+    ``devices`` defaults to the global ``jax.devices()`` (all hosts after
+    :func:`init_distributed`).  ``hosts`` defaults to the number of distinct
+    owning processes; pass it explicitly to *simulate* a host partition on a
+    single process (used by ``__graft_entry__.dryrun_multichip`` and the
+    tests to exercise the host-axis layout without hardware).
+
+    Layout: devices of one host are reshaped to ``(dp_local, tp)``, then
+    hosts stack along the leading (dp) axis — so every tp group lives inside
+    one host and the dp axis is contiguous per host, giving XLA a
+    hierarchical ICI-then-DCN gradient reduction.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    groups = host_groups(devices)
+    if hosts is None:
+        hosts = len(groups)
+    elif hosts % len(groups) == 0 and len(groups) < hosts:
+        # Simulated finer host partition: split each real host group.
+        split = hosts // len(groups)
+        regrouped = []
+        for g in groups:
+            if len(g) % split:
+                raise ValueError(
+                    f"cannot split a host of {len(g)} devices into {split}")
+            step = len(g) // split
+            regrouped += [g[i * step:(i + 1) * step] for i in range(split)]
+        groups = regrouped
+    elif hosts != len(groups):
+        raise ValueError(
+            f"hosts={hosts} incompatible with {len(groups)} owning processes")
+
+    n = sum(len(g) for g in groups)
+    _, dp_local, tp = pod_mesh_spec(n, tp=tp, hosts=hosts)
+    blocks = [np.asarray(g, dtype=object).reshape(dp_local, tp)
+              for g in groups]
+    arr = np.concatenate(blocks, axis=0)
+    return Mesh(arr, axis_names=("dp", "tp"))

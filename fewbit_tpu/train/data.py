@@ -13,7 +13,9 @@ from typing import Dict, Iterator, Optional
 
 import numpy as np
 
-__all__ = ("synthetic_glue", "load_glue")
+__all__ = ("synthetic_glue", "load_glue", "load_tokenized_npz",
+           "batches_from_arrays", "real_text_corpus", "byte_lm_arrays",
+           "byte_lm_batches")
 
 
 def synthetic_glue(batch_size: int,

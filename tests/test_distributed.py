@@ -1,0 +1,110 @@
+"""Multi-host bootstrap + pod-mesh layout (single-process, virtual devices).
+
+The DCN-aware layout invariants are checked structurally (no multi-host
+hardware needed): tp groups never span a simulated host, the dp axis is
+host-major, and a dp x tp training step on the pod mesh matches the plain
+mesh numerically.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fewbit_tpu.parallel import (dp_tp_train_step, init_distributed,
+                                 init_dp_tp_state, make_dp_tp_mesh,
+                                 make_pod_mesh, pod_mesh_spec, shard_batch)
+from fewbit_tpu.parallel.distributed import host_groups
+
+
+def test_pod_mesh_spec_factorisation():
+    assert pod_mesh_spec(8, tp=2, hosts=2) == (2, 2, 2)
+    assert pod_mesh_spec(8, tp=1, hosts=4) == (4, 2, 1)
+    assert pod_mesh_spec(8) == (1, 8, 1)
+    assert pod_mesh_spec(16, tp=4, hosts=2) == (2, 2, 4)
+
+
+def test_pod_mesh_spec_rejects_bad_partitions():
+    with pytest.raises(ValueError):
+        pod_mesh_spec(8, tp=2, hosts=3)  # hosts don't divide devices
+    with pytest.raises(ValueError):
+        pod_mesh_spec(8, tp=3, hosts=2)  # tp doesn't divide per-host count
+    with pytest.raises(ValueError):
+        pod_mesh_spec(8, tp=8, hosts=2)  # tp would cross the DCN boundary
+    with pytest.raises(ValueError):
+        pod_mesh_spec(8, tp=0)
+
+
+def test_init_distributed_single_process_noop():
+    assert init_distributed() == (0, 1)
+    # Idempotent.
+    assert init_distributed() == (0, 1)
+
+
+def test_host_groups_single_process():
+    groups = host_groups(jax.devices())
+    assert len(groups) == 1
+    assert len(groups[0]) == len(jax.devices())
+
+
+def _simulated_host_of(device_order, device):
+    """Index of the simulated host (= position in the original flat order
+    divided by the group size) for layout assertions."""
+    return device_order.index(device)
+
+
+def test_pod_mesh_layout_host_major():
+    devices = jax.devices()
+    assert len(devices) >= 8, "conftest forces an 8-device CPU mesh"
+    mesh = make_pod_mesh(tp=2, hosts=2, devices=devices[:8])
+    assert mesh.shape == {"dp": 4, "tp": 2}
+
+    order = list(devices[:8])
+    arr = mesh.devices
+    # Every tp group (row) must live inside one simulated host: with 8
+    # devices over 2 hosts, host 0 = order[0:4], host 1 = order[4:8].
+    for row in arr:
+        hosts_in_row = {_simulated_host_of(order, d) // 4 for d in row}
+        assert len(hosts_in_row) == 1
+    # dp axis is host-major: first two rows from host 0, last two from host 1.
+    row_hosts = [_simulated_host_of(order, arr[i, 0]) // 4 for i in range(4)]
+    assert row_hosts == [0, 0, 1, 1]
+
+
+def test_pod_mesh_rejects_incompatible_hosts():
+    devices = jax.devices()[:6]
+    with pytest.raises(ValueError):
+        make_pod_mesh(tp=1, hosts=4, devices=devices)  # 6 % 4 != 0
+
+
+def test_pod_mesh_step_matches_plain_mesh():
+    """One dp x tp training step gives identical loss on the pod-layout mesh
+    and the plain row-major mesh (device placement must not change math)."""
+    from fewbit_tpu.models import RobertaConfig, \
+        RobertaForSequenceClassification
+    from fewbit_tpu.train import TrainConfig, make_train_step, synthetic_glue
+
+    cfg = RobertaConfig(vocab_size=64, hidden_size=16, num_layers=1,
+                        num_heads=2, intermediate_size=32,
+                        max_position_embeddings=34, num_labels=2,
+                        gelu_bits=3, proj_dim_ratio=0.5,
+                        tp_axis="tp", tp_size=2,
+                        hidden_dropout=0.0, attention_dropout=0.0)
+    model = RobertaForSequenceClassification(cfg)
+    batch_np = next(synthetic_glue(8, seq_len=8, vocab_size=cfg.vocab_size))
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    tcfg = TrainConfig(total_steps=4, learning_rate=1e-4)
+
+    losses = {}
+    for name, mesh in (
+        ("plain", make_dp_tp_mesh(4, 2, devices=jax.devices()[:8])),
+        ("pod", make_pod_mesh(tp=2, hosts=2, devices=jax.devices()[:8])),
+    ):
+        state, specs = init_dp_tp_state(model, tcfg, batch, mesh)
+        step = dp_tp_train_step(make_train_step(model, dp_axis="dp"), mesh,
+                                specs)
+        _, metrics = step(state, shard_batch(batch, mesh), jax.random.key(0))
+        losses[name] = float(metrics["loss"])
+
+    assert np.isfinite(losses["plain"])
+    np.testing.assert_allclose(losses["plain"], losses["pod"], rtol=1e-5)

@@ -52,3 +52,35 @@ def test_orthonormality():
     da = np.asarray(dct(jnp.asarray(a), axis=0, norm="ortho"))
     db = np.asarray(dct(jnp.asarray(b), axis=0, norm="ortho"))
     np.testing.assert_allclose(da.T @ db, a.T @ b, atol=1e-3)
+
+
+class TestFWHT:
+    """Kronecker-factored Walsh-Hadamard transform (the srht sketch core)."""
+
+    def test_matches_dense_hadamard(self):
+        import numpy as np
+        from fewbit_tpu.fft import fwht, _hadamard
+
+        rng = np.random.RandomState(7)
+        for n in (1, 2, 8, 64, 128):
+            x = jnp.asarray(rng.randn(n, 5), jnp.float32)
+            want = _hadamard(n) @ np.asarray(x) / np.sqrt(n)
+            got = np.asarray(fwht(x, norm="ortho"))
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_orthonormal_involution(self):
+        import numpy as np
+        from fewbit_tpu.fft import fwht
+
+        rng = np.random.RandomState(8)
+        x = jnp.asarray(rng.randn(256, 3), jnp.float32)
+        np.testing.assert_allclose(np.asarray(fwht(fwht(x))), np.asarray(x),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_rejects_non_power_of_two(self):
+        import numpy as np
+        import pytest
+        from fewbit_tpu.fft import fwht
+
+        with pytest.raises(ValueError):
+            fwht(jnp.zeros((6, 2), jnp.float32))

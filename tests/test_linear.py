@@ -58,8 +58,9 @@ class TestLinearGRP:
             np.testing.assert_allclose(np.asarray(y), np.asarray(z),
                                        atol=1e-6)
 
-    @pytest.mark.parametrize("matmul",
-                             ["gaussian", "rademacher", "dct", "dft", "countsketch"])
+    @pytest.mark.parametrize(
+        "matmul",
+        ["gaussian", "rademacher", "dct", "dft", "countsketch", "srht"])
     def test_weight_grad_unbiased(self, matmul):
         gw_exact, gb_exact = exact_grads()
         gw_mc, gb_mc = mc_weight_grad(matmul=matmul)
@@ -93,6 +94,19 @@ class TestLinearGRP:
         # Largest residual should be the (32, 64) sketch or the weight, never
         # the (4096, 64) input.
         assert max(sizes) <= W.size
+
+    def test_srht_non_power_of_two_batch(self):
+        # 100 rows pad to 128 inside the transform; forward stays exact and
+        # gradients stay finite with the right shapes.
+        key = jax.random.key(11)
+        x = jnp.asarray(RNG.randn(100, 64), jnp.float32)
+        y = F.linear_grp(x, W, B, key, proj_dim=16, matmul="srht")
+        np.testing.assert_allclose(np.asarray(y),
+                                   np.asarray(F.linear(x, W, B)), atol=1e-5)
+        gw = jax.grad(lambda w: F.linear_grp(
+            x, w, B, key, proj_dim=16, matmul="srht").sum())(W)
+        assert gw.shape == W.shape
+        assert np.isfinite(np.asarray(gw)).all()
 
     def test_batched_input_shapes(self):
         key = jax.random.key(5)
