@@ -3,10 +3,16 @@ notebooks/few-bit-backward/exp-fine-tuning-glue.py and
 notebooks/randomized-backward/exp-fine-tuning-glue.py).
 
 Runs on synthetic MRPC-shaped data by default (this environment has no
-network); pass --glue to use a locally cached GLUE dataset.
+network); pass ``--glue path/to/mrpc_tokenized.npz`` to fine-tune and
+evaluate on real tokenized MRPC (produce the file once with
+``tools/prepare_mrpc.py`` on a machine with network access).
 
     python examples/finetune_glue.py --num-bits 3 --proj-dim-ratio 0.2 \
-        --steps 50 --batch 16
+        --steps 50 --batch 16 [--glue data/mrpc_tokenized.npz]
+
+For a real-data convergence-parity experiment that runs fully inside this
+zero-egress image, see ``examples/lm_parity_real_text.py`` (byte-level LM on
+genuine English prose shipped with the OS).
 """
 
 import argparse
@@ -24,7 +30,8 @@ def main():
     parser.add_argument("--proj-dim-ratio", type=float, default=None,
                         help="RandomizedLinear sketch ratio (default: exact)")
     parser.add_argument("--matmul", default="gaussian",
-                        choices=["gaussian", "rademacher", "dct", "dft"])
+                        choices=["gaussian", "rademacher", "dct", "dft",
+                                 "countsketch", "srht"])
     parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--seq", type=int, default=128)
     parser.add_argument("--steps", type=int, default=100)
@@ -32,9 +39,12 @@ def main():
     parser.add_argument("--layers", type=int, default=12)
     parser.add_argument("--hidden", type=int, default=768)
     parser.add_argument("--checkpoint-dir", type=Path, default=None)
-    parser.add_argument("--glue", action="store_true",
-                        help="use locally cached GLUE MRPC instead of "
-                             "synthetic data")
+    parser.add_argument("--glue", type=Path, default=None, metavar="NPZ",
+                        help="path to a tokenized MRPC npz (schema of "
+                             "fewbit_tpu.train.load_tokenized_npz; produce "
+                             "it with tools/prepare_mrpc.py on a connected "
+                             "machine). Default: synthetic MRPC-shaped data.")
+    parser.add_argument("--eval-every", type=int, default=25)
     args = parser.parse_args()
 
     import jax
@@ -54,19 +64,40 @@ def main():
                         sketch=args.matmul)
     model = RobertaForSequenceClassification(cfg)
 
+    eval_batches = None
     if args.glue:
-        from fewbit_tpu.train import load_glue
+        from fewbit_tpu.train import batches_from_arrays, load_tokenized_npz
 
-        raise SystemExit("local GLUE cache loading: use load_glue() — "
-                         "not available in this zero-egress environment")
-    data = synthetic_glue(args.batch, seq_len=args.seq,
-                          vocab_size=cfg.vocab_size)
+        splits = load_tokenized_npz(args.glue)
+        train = splits["train"]
+        val = splits.get("validation")
+        data = batches_from_arrays(train, args.batch)
+        if val is not None:
+            n_eval = (len(val["labels"]) // args.batch) * args.batch
+            eval_batches = [
+                {k: jnp.asarray(v[s:s + args.batch])
+                 for k, v in val.items()}
+                for s in range(0, n_eval, args.batch)]
+        print(f"MRPC: {len(train['labels'])} train / "
+              f"{len(val['labels']) if val else 0} validation examples")
+    else:
+        data = synthetic_glue(args.batch, seq_len=args.seq,
+                              vocab_size=cfg.vocab_size)
 
     batch0 = {k: jnp.asarray(v) for k, v in next(data).items()}
     tcfg = TrainConfig(learning_rate=args.lr, total_steps=args.steps)
     state = create_train_state(model, tcfg, batch0)
     step = jax.jit(make_train_step(model), donate_argnums=(0,))
     evaluate = make_eval_step(model)
+
+    def run_eval(state):
+        if eval_batches is None:
+            ev = evaluate(state, batch0)
+            return float(ev["accuracy"])
+        correct = 0.0
+        for eb in eval_batches:
+            correct += float(evaluate(state, eb)["accuracy"]) * args.batch
+        return correct / (len(eval_batches) * args.batch)
 
     print(f"config: {cfg.num_layers}L/{cfg.hidden_size}H gelu_bits="
           f"{cfg.gelu_bits} proj_dim_ratio={cfg.proj_dim_ratio}")
@@ -75,11 +106,13 @@ def main():
     for i in range(args.steps):
         batch = {k: jnp.asarray(v) for k, v in next(data).items()}
         state, metrics = step(state, batch, jax.random.fold_in(key, i))
-        if (i + 1) % 10 == 0 or i == 0:
-            ev = evaluate(state, batch0)
+        if (i + 1) % args.eval_every == 0 or i == 0:
+            acc = run_eval(state)
+            which = "val" if eval_batches is not None else "holdout"
             print(f"step {i+1:4d}  loss {float(metrics['loss']):.4f}  "
-                  f"holdout acc {float(ev['accuracy']):.3f}  "
-                  f"({time.time()-t0:.1f}s)")
+                  f"{which} acc {acc:.3f}  ({time.time()-t0:.1f}s)")
+    print(f"final {'val' if eval_batches is not None else 'holdout'} "
+          f"accuracy: {run_eval(state):.4f}")
 
     if args.checkpoint_dir:
         save_checkpoint(args.checkpoint_dir / "final", state)

@@ -67,6 +67,118 @@ def synthetic_lm(batch_size: int,
                "labels": labels.astype(np.int32)}
 
 
+def load_tokenized_npz(path) -> Dict[str, Dict[str, np.ndarray]]:
+    """Load a pre-tokenized classification dataset from one ``.npz`` file.
+
+    Schema (produced by ``tools/prepare_mrpc.py`` in an environment with
+    network access — this build environment has none):
+
+    * ``{split}_input_ids``       int32 ``(n, seq)``
+    * ``{split}_attention_mask``  int32 ``(n, seq)``
+    * ``{split}_labels``          int32 ``(n,)``
+
+    for ``split`` in ``train`` / ``validation``.  Returns
+    ``{split: {"input_ids": ..., "attention_mask": ..., "labels": ...}}``.
+    """
+    archive = np.load(path)
+    out: Dict[str, Dict[str, np.ndarray]] = {}
+    for key in archive.files:
+        split, _, field = key.partition("_")
+        out.setdefault(split, {})[field] = archive[key]
+    for split, fields in out.items():
+        missing = {"input", "attention", "labels"} - {
+            f.split("_")[0] for f in fields}
+        if missing:
+            raise ValueError(f"split {split!r} missing fields: {missing}")
+    return out
+
+
+def batches_from_arrays(arrays: Dict[str, np.ndarray], batch_size: int,
+                        seed: int = 0,
+                        drop_remainder: bool = True
+                        ) -> Iterator[Dict[str, np.ndarray]]:
+    """Endless shuffled epochs over an in-memory dataset dict."""
+    n = len(arrays["labels"])
+    rng = np.random.RandomState(seed)
+    while True:
+        order = rng.permutation(n)
+        stop = n - batch_size + 1 if drop_remainder else n
+        for start in range(0, stop, batch_size):
+            idx = order[start:start + batch_size]
+            yield {k: v[idx] for k, v in arrays.items()}
+
+
+# ---------------------------------------------------------------------------
+# Real-text language modelling (no-egress real data).
+#
+# The north-star accuracy claim is parity on *real* data.  GLUE cannot be
+# fetched here, so the real-data convergence experiment uses byte-level
+# language modelling over genuine English prose that ships with the OS image
+# (the common-licenses corpus: GPL/LGPL/GFDL/MPL texts, ~200 KB of natural
+# language).  Labels are the actual next bytes — nothing synthetic.
+# ---------------------------------------------------------------------------
+
+_CORPUS_DIRS = ("/usr/share/common-licenses",)
+
+
+def real_text_corpus(dirs=_CORPUS_DIRS, max_bytes: int = 4 << 20) -> bytes:
+    """Concatenated real English text from the image; deterministic order."""
+    import os
+
+    chunks = []
+    total = 0
+    for d in dirs:
+        if not os.path.isdir(d):
+            continue
+        for name in sorted(os.listdir(d)):
+            p = os.path.join(d, name)
+            if os.path.islink(p) or not os.path.isfile(p):
+                continue
+            with open(p, "rb") as fh:
+                data = fh.read()
+            chunks.append(data)
+            total += len(data)
+            if total >= max_bytes:
+                break
+    if not chunks:
+        raise FileNotFoundError(f"no corpus text found under {dirs}")
+    return b"\n\n".join(chunks)[:max_bytes]
+
+
+def byte_lm_arrays(text: bytes, seq_len: int = 128,
+                   val_fraction: float = 0.1, seed: int = 0):
+    """Chop a byte corpus into shuffled (train, val) example matrices.
+
+    Returns ``(train_ids, val_ids)`` of shape ``(n, seq_len + 1)`` uint8 —
+    position ``t+1`` is the label for position ``t``.
+    """
+    arr = np.frombuffer(text, dtype=np.uint8)
+    n = (len(arr) - 1) // seq_len
+    ids = np.stack([arr[i * seq_len:i * seq_len + seq_len + 1]
+                    for i in range(n)])
+    rng = np.random.RandomState(seed)
+    order = rng.permutation(n)
+    n_val = max(int(n * val_fraction), 1)
+    return ids[order[n_val:]], ids[order[:n_val]]
+
+
+def byte_lm_batches(ids: np.ndarray, batch_size: int,
+                    seed: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+    """Endless shuffled LM batches from a ``byte_lm_arrays`` matrix, labels
+    pre-shifted for :func:`fewbit_tpu.train.causal_lm_loss`."""
+    rng = np.random.RandomState(seed)
+    n = len(ids)
+    while True:
+        order = rng.permutation(n)
+        for start in range(0, n - batch_size + 1, batch_size):
+            chunk = ids[order[start:start + batch_size]]
+            tokens = chunk[:, :-1].astype(np.int32)
+            labels = chunk[:, 1:].astype(np.int32)
+            yield {"input_ids": tokens,
+                   "attention_mask": np.ones_like(tokens),
+                   "labels": labels}
+
+
 def load_glue(task: str = "mrpc", split: str = "train",
               tokenizer_name: str = "roberta-base",
               max_length: int = 128,

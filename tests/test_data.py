@@ -1,0 +1,68 @@
+"""Data sources: tokenized-npz schema, epoch batching, real-text byte LM."""
+
+import numpy as np
+import pytest
+
+from fewbit_tpu.train import (batches_from_arrays, byte_lm_arrays,
+                              byte_lm_batches, load_tokenized_npz,
+                              real_text_corpus)
+
+
+def _fake_npz(tmp_path, n_train=10, n_val=4, seq=16):
+    path = tmp_path / "mrpc.npz"
+    rng = np.random.RandomState(0)
+    np.savez(
+        path,
+        train_input_ids=rng.randint(0, 100, (n_train, seq)).astype(np.int32),
+        train_attention_mask=np.ones((n_train, seq), np.int32),
+        train_labels=rng.randint(0, 2, (n_train,)).astype(np.int32),
+        validation_input_ids=rng.randint(0, 100, (n_val, seq)).astype(
+            np.int32),
+        validation_attention_mask=np.ones((n_val, seq), np.int32),
+        validation_labels=rng.randint(0, 2, (n_val,)).astype(np.int32))
+    return path
+
+
+def test_load_tokenized_npz_schema(tmp_path):
+    splits = load_tokenized_npz(_fake_npz(tmp_path))
+    assert sorted(splits) == ["train", "validation"]
+    assert splits["train"]["input_ids"].shape == (10, 16)
+    assert splits["validation"]["labels"].shape == (4,)
+
+
+def test_load_tokenized_npz_rejects_missing_field(tmp_path):
+    path = tmp_path / "bad.npz"
+    np.savez(path, train_input_ids=np.ones((2, 4), np.int32))
+    with pytest.raises(ValueError):
+        load_tokenized_npz(path)
+
+
+def test_batches_from_arrays_covers_epoch(tmp_path):
+    splits = load_tokenized_npz(_fake_npz(tmp_path))
+    stream = batches_from_arrays(splits["train"], 4, seed=1)
+    batches = [next(stream) for _ in range(4)]
+    assert all(b["input_ids"].shape == (4, 16) for b in batches)
+    # Two epochs of 10 examples at batch 4 drop the remainder: 2+2 batches.
+    seen = np.concatenate([b["labels"] for b in batches])
+    assert len(seen) == 16
+
+
+def test_real_text_corpus_is_real_prose():
+    text = real_text_corpus()
+    assert len(text) > 100_000
+    # Genuine English, not binary junk.
+    assert b"License" in text or b"LICENSE" in text
+    printable = sum(32 <= c < 127 or c in (9, 10, 13) for c in text[:20000])
+    assert printable / 20000 > 0.97
+
+
+def test_byte_lm_arrays_and_batches():
+    text = real_text_corpus(max_bytes=64 * 1024)
+    train, val = byte_lm_arrays(text, seq_len=32, val_fraction=0.25)
+    assert train.shape[1] == 33 and val.shape[1] == 33
+    assert len(val) == pytest.approx(0.25 * (len(val) + len(train)), rel=0.05)
+    batch = next(byte_lm_batches(train, 8))
+    assert batch["input_ids"].shape == (8, 32)
+    np.testing.assert_array_equal(batch["labels"][:, :-1],
+                                  batch["input_ids"][:, 1:])
+    assert batch["labels"].min() >= 0  # bytes, all valid targets
