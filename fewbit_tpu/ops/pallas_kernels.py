@@ -50,10 +50,26 @@ def _cdiv(a: int, b: int) -> int:
 
 
 def _choose_blocks(r: int, c: int) -> Tuple[int, int]:
-    """Deterministic block geometry shared by forward and backward."""
-    br = min(256, _cdiv(r, GROUP) * GROUP)
+    """Deterministic block geometry shared by forward and backward.
+
+    512-row blocks halve the number of grid steps (and, in the dense
+    megakernel, halve the re-streaming of the weight) versus 256 at an
+    extra ~2 MiB of VMEM — measured faster on v5e for every headline shape.
+    The packed-residual layout is a pure function of this geometry, so
+    forward and backward always re-derive the same one.
+    """
+    br = min(512, _cdiv(r, GROUP) * GROUP)
     bc = min(1024, c)
     return br, bc
+
+
+def _choose_bk(kdim: int) -> Optional[int]:
+    """Largest 128-multiple reduction block that exactly divides ``kdim``
+    (capped so the operand blocks stay comfortably inside VMEM)."""
+    for bk in range(min(kdim, 2048), 0, -128):
+        if kdim % bk == 0:
+            return bk
+    return None
 
 
 def _eligible(spec, shape, dtype) -> bool:
@@ -315,6 +331,7 @@ def fused_dense_act(spec, x: jax.Array, w: jax.Array, bias, borders
         return None
     if x.dtype not in (jnp.float32.dtype, jnp.bfloat16.dtype):
         return None
+    out_dtype = x.dtype
     from fewbit_tpu.ops.activations import compare_codes
 
     if spec.bits > 6:
@@ -326,9 +343,22 @@ def fused_dense_act(spec, x: jax.Array, w: jax.Array, bias, borders
     # Same (row, col) block geometry as the elementwise kernels so the
     # packed residual decodes with the ordinary fused_backward.
     bn, bm = _choose_blocks(n, m)
-    bk = min(512, kdim)
+    bk = _choose_bk(kdim)
+    if bk is None:
+        # No aligned reduction block divides kdim: a partial k-block would
+        # stream out-of-bounds garbage INTO the accumulator (unlike row/col
+        # edges, which only produce dropped rows) — fall back.
+        return None
     gr = bn // GROUP
     grid = (_cdiv(n, bn), _cdiv(m, bm), _cdiv(kdim, bk))
+
+    # MXU precision: XLA lowers f32 matmuls to bf16 MXU passes by default on
+    # TPU; do the same (cast fuses into the operands' producers, and the
+    # accumulator stays f32).  Interpret mode keeps f32 so the jnp-parity
+    # tests stay exact.
+    if x.dtype == jnp.float32.dtype and not _interpret_mode():
+        x = x.astype(jnp.bfloat16)
+        w = w.astype(jnp.bfloat16)
 
     nb = max(spec.n_borders, 1)
     borders2 = jnp.zeros((1, nb), jnp.float32)
@@ -339,7 +369,7 @@ def fused_dense_act(spec, x: jax.Array, w: jax.Array, bias, borders
 
     kernel = functools.partial(_dense_act_kernel, spec, bn, bm, bk, grid[2])
     out_shapes = (
-        jax.ShapeDtypeStruct((n, m), x.dtype),
+        jax.ShapeDtypeStruct((n, m), out_dtype),
         jax.ShapeDtypeStruct((spec.bits, grid[0] * gr, grid[1] * bm),
                              jnp.uint32),
     )
@@ -367,7 +397,7 @@ def fused_dense_act(spec, x: jax.Array, w: jax.Array, bias, borders
         cost_estimate=pl.CostEstimate(
             flops=2 * n * m * kdim,
             bytes_accessed=(n * kdim + kdim * m) * x.dtype.itemsize
-            + n * m * x.dtype.itemsize + spec.bits * n * m // 8,
+            + n * m * out_dtype.itemsize + spec.bits * n * m // 8,
             transcendentals=n * m,
         ),
         interpret=_interpret_mode(),
