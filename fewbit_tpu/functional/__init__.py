@@ -27,3 +27,4 @@ from fewbit_tpu.functional.variance import (  # noqa: F401
 
 # Fused dense + activation block.
 from fewbit_tpu.functional.fused import fewbit_dense_act  # noqa: F401
+from fewbit_tpu.functional.ffn import fewbit_ffn  # noqa: F401

@@ -229,6 +229,28 @@ class RobertaLayer(nn.Module):
         # projection + activation + quantise + pack run as ONE Pallas kernel
         # (the fp32 pre-activation never reaches HBM).
         inner_features = cfg.intermediate_size // cfg.tp_size
+        if (cfg.gelu_bits and cfg.fused_ffn and cfg.proj_dim_ratio
+                and cfg.sketch == "countsketch"):
+            # Whole-block fusion: up + gelu + quantise + pack + sketch(y) in
+            # one kernel, matmul + LUT-dequant + sketch(dz) + db in one
+            # backward kernel — no (N, inner) tensor survives the forward.
+            from fewbit_tpu.modules.ffn import FewBitFFN
+
+            out = FewBitFFN(
+                inner_features=inner_features,
+                out_features=cfg.hidden_size, activation="gelu",
+                bits=cfg.gelu_bits, dtype=cfg.dtype,
+                proj_dim_ratio=cfg.proj_dim_ratio,
+                use_down_bias=cfg.tp_axis is None,
+                name="ffn")(x)
+            if cfg.tp_axis is not None:
+                out = _tp_psum(out, cfg.tp_axis)
+                out = out + self.param("ffn_bias", nn.initializers.zeros,
+                                       (cfg.hidden_size,), cfg.dtype)
+            out = nn.Dropout(cfg.hidden_dropout)(
+                out, deterministic=deterministic)
+            return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,
+                                name="output_norm")(x + out)
         if cfg.gelu_bits and cfg.fused_ffn:
             from fewbit_tpu.modules.fused import FusedDenseActivation
 

@@ -17,5 +17,7 @@ from fewbit_tpu.modules.linear import (  # noqa: F401
 
 from fewbit_tpu.modules.fused import FusedDenseActivation  # noqa: F401
 
+from fewbit_tpu.modules.ffn import FewBitFFN  # noqa: F401
+
 from fewbit_tpu.modules.variance import (  # noqa: F401
     VarianceEstimator, VarianceEstimatorState)

@@ -413,6 +413,301 @@ def dense_act_packed_shape(spec, n: int, m: int) -> Tuple[int, int, int]:
 
 
 # ---------------------------------------------------------------------------
+# FFN-block kernels: dense + activation + pack + countsketch epilogues.
+#
+# The memory-efficient FFN needs two more sketches beyond what the plain
+# megakernel provides, and both would otherwise cost a full extra HBM pass
+# over an (N, M) tensor (the dominant share of the RandomizedLinear step
+# overhead — see docs/BENCHMARKS.md):
+#
+#   * forward: countsketch of y = act(x @ w_up + b) — the residual the DOWN
+#     projection's weight gradient needs;
+#   * backward: countsketch of dz = levels[codes] * (g @ w_down^T) — the
+#     residual the UP projection's weight gradient needs — plus the bias
+#     cotangent db = sum_n dz.
+#
+# Both ride the same VMEM-resident block as the matmul epilogue.  The
+# countsketch with a stride partition maps row r to bucket r % k_eff with
+# sign sigma_r, so a (FFN_BN)-row block accumulates into one contiguous
+# k_eff-aligned slab of the sketch.  The grid is ordered (column j OUTER,
+# row i middle, reduction k inner) so the (k_eff, bm) sketch block for a
+# given j is visited in consecutive grid steps — the Pallas requirement for
+# cross-step output accumulation.
+# ---------------------------------------------------------------------------
+
+FFN_BN = 512  # row block; the pack geometry must match _choose_blocks
+FFN_BM = 512  # column block (kept small: the sketch block is k_eff x FFN_BM)
+
+
+def countsketch_aligned_keff(n: int, k: int) -> Optional[int]:
+    """Bucket count for the kernel-fused countsketch: the smallest multiple
+    of FFN_BN that divides ``n`` and is >= ``k`` (never less accurate than
+    requested), within a 2x bucket budget.  None -> caller falls back to the
+    jnp sketch."""
+    if n % FFN_BN:
+        return None
+    k_eff = max(FFN_BN, _cdiv(k, FFN_BN) * FFN_BN)
+    while k_eff <= 2 * k or k_eff == FFN_BN:
+        if n % k_eff == 0 and k_eff >= k:
+            return k_eff if k_eff <= n else None
+        k_eff += FFN_BN
+    return None
+
+
+def _ffn_sketch_epilogue(i, slabs, block, sig_ref, sk_ref):
+    """Accumulate a signed row-block into its bucket slab of the sketch."""
+    signed = block * sig_ref[:].astype(jnp.float32)
+    slab = jax.lax.rem(i, slabs)
+
+    @pl.when(i < slabs)
+    def _init():
+        sk_ref[pl.ds(slab * FFN_BN, FFN_BN), :] = signed
+
+    @pl.when(i >= slabs)
+    def _acc():
+        sk_ref[pl.ds(slab * FFN_BN, FFN_BN), :] += signed
+
+
+def _dense_act_sketch_kernel(spec, bm, n_k, slabs, borders_ref, x_ref, w_ref,
+                             bias_ref, sig_ref, y_ref, packed_ref, sk_ref,
+                             acc_ref):
+    i, k_idx = pl.program_id(1), pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jnp.dot(x_ref[:], w_ref[:],
+                          preferred_element_type=jnp.float32)
+
+    @pl.when(k_idx == n_k - 1)
+    def _epilogue():
+        gr = FFN_BN // GROUP
+        z = acc_ref[:] + bias_ref[0, :][None, :]
+        fwd = spec.fwd_kernel or spec.fwd
+        y = fwd(z, spec.args)
+        y_ref[:] = y.astype(y_ref.dtype)
+        codes = _compute_codes(spec, z, borders_ref)
+        for b in range(spec.bits):
+            plane = (codes >> b) & jnp.uint32(1)
+            word = jnp.zeros((gr, bm), dtype=jnp.uint32)
+            for g in range(GROUP):
+                word |= plane[g * gr:(g + 1) * gr, :] << jnp.uint32(g)
+            packed_ref[b, :, :] = word
+        _ffn_sketch_epilogue(i, slabs, y.astype(jnp.float32), sig_ref, sk_ref)
+
+
+def fused_dense_act_sketch(spec, x: jax.Array, w: jax.Array, bias,
+                           borders, sigma: jax.Array, k_eff: int,
+                           y_dtype=None):
+    """``act(x @ w + b)`` emitting packed codes AND the countsketch of the
+    activation in the same pass.  Returns ``(y, packed, sketch)`` or None
+    outside the envelope.  ``sigma``: (n, 1) random-sign array (the SAME
+    signs the backward's jnp-side sketch of the output gradient uses)."""
+    if x.ndim != 2 or w.ndim != 2:
+        return None
+    n, kdim = x.shape
+    _, m = w.shape
+    if n % FFN_BN or m % FFN_BM or kdim % 128:
+        return None
+    if k_eff % FFN_BN or k_eff > n or n % k_eff:
+        return None
+    if x.dtype not in (jnp.float32.dtype, jnp.bfloat16.dtype):
+        return None
+    bk = _choose_bk(kdim)
+    if bk is None:
+        return None
+    from fewbit_tpu.ops.activations import compare_codes
+
+    if spec.bits > 6:
+        return None
+    if (spec.n_borders > 0 and spec.codes is not compare_codes
+            and spec.name != "stepwise"):
+        return None
+
+    out_dtype = jnp.dtype(y_dtype) if y_dtype is not None else x.dtype
+    if x.dtype == jnp.float32.dtype and not _interpret_mode():
+        x = x.astype(jnp.bfloat16)
+        w = w.astype(jnp.bfloat16)
+
+    bn, bm = FFN_BN, FFN_BM
+    gr = bn // GROUP
+    grid = (m // bm, n // bn, kdim // bk)
+    slabs = k_eff // bn
+
+    nb = max(spec.n_borders, 1)
+    borders2 = jnp.zeros((1, nb), jnp.float32)
+    if spec.n_borders:
+        borders2 = borders.reshape(1, -1).astype(jnp.float32)
+    bias2 = (bias if bias is not None else
+             jnp.zeros((m,), jnp.float32)).reshape(1, m).astype(jnp.float32)
+    sigma2 = sigma.reshape(n, 1).astype(jnp.float32)
+
+    kernel = functools.partial(_dense_act_sketch_kernel, spec, bm, grid[2],
+                               slabs)
+    out_shapes = (
+        jax.ShapeDtypeStruct((n, m), out_dtype),
+        jax.ShapeDtypeStruct((spec.bits, (n // bn) * gr, m), jnp.uint32),
+        jax.ShapeDtypeStruct((k_eff, m), jnp.float32),
+    )
+    y, packed, sk = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, nb), lambda j, i, k: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((bn, bk), lambda j, i, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bm), lambda j, i, k: (k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bm), lambda j, i, k: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, 1), lambda j, i, k: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((bn, bm), lambda j, i, k: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((spec.bits, gr, bm), lambda j, i, k: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_eff, bm), lambda j, i, k: (0, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((bn, bm), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * m * kdim + 4 * n * m,
+            bytes_accessed=(n * kdim * grid[0] + kdim * m * grid[1])
+            * x.dtype.itemsize + n * m * out_dtype.itemsize
+            + spec.bits * n * m // 8 + k_eff * m * 4,
+            transcendentals=n * m,
+        ),
+        interpret=_interpret_mode(),
+    )(borders2, x, w, bias2, sigma2)
+    return y, packed, sk
+
+
+def _matmul_lut_bwd_kernel(spec, bm, n_k, slabs, levels_ref, g_ref, wt_ref,
+                           packed_ref, sig_ref, dz_ref, sk_ref, db_ref,
+                           acc_ref):
+    i, k_idx = pl.program_id(1), pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jnp.dot(g_ref[:], wt_ref[:],
+                          preferred_element_type=jnp.float32)
+
+    @pl.when(k_idx == n_k - 1)
+    def _epilogue():
+        gr = FFN_BN // GROUP
+        nlevels = 1 << spec.bits
+        words = [packed_ref[b, :, :] for b in range(spec.bits)]
+        dz_rows = []
+        for g in range(GROUP):
+            slot = jnp.uint32(1 << g)
+            masks = [(words[b] & slot) != 0 for b in range(spec.bits)]
+            vals = [levels_ref[0, k] for k in range(nlevels)]
+            for mask in masks:
+                vals = [jnp.where(mask, vals[2 * k + 1], vals[2 * k])
+                        for k in range(len(vals) // 2)]
+            dz_rows.append(vals[0] * acc_ref[g * gr:(g + 1) * gr, :])
+        dz = jnp.concatenate(dz_rows, axis=0)
+        dz_ref[:] = dz.astype(dz_ref.dtype)
+
+        @pl.when(i == 0)
+        def _db_init():
+            db_ref[0, :] = jnp.sum(dz, axis=0)
+
+        @pl.when(i > 0)
+        def _db_acc():
+            db_ref[0, :] += jnp.sum(dz, axis=0)
+
+        _ffn_sketch_epilogue(i, slabs, dz, sig_ref, sk_ref)
+
+
+def fused_matmul_lut_backward(spec, packed: jax.Array, levels: jax.Array,
+                              g: jax.Array, wt: jax.Array,
+                              sigma: jax.Array, k_eff: int,
+                              dz_dtype=None):
+    """``dz = levels[codes] * (g @ wt)`` in one pass, emitting the
+    countsketch of dz and the column sums ``db = sum_n dz``.
+
+    ``g``: (N, H) output gradient; ``wt``: (H, M) — the down projection's
+    weight already transposed (and pre-cast, with ``g``, to bf16 by the
+    caller on the MXU path).  Returns ``(dz, sketch, db)`` or None outside
+    the envelope."""
+    if g.ndim != 2 or wt.ndim != 2 or packed.ndim != 3:
+        return None
+    n, h = g.shape
+    _, m = wt.shape
+    if n % FFN_BN or m % FFN_BM or h % 128:
+        return None
+    if k_eff % FFN_BN or k_eff > n or n % k_eff:
+        return None
+    bk = _choose_bk(h)
+    if bk is None:
+        return None
+    if spec.bits > 6:
+        return None
+    gr = FFN_BN // GROUP
+    if packed.shape != (spec.bits, (n // FFN_BN) * gr, m):
+        return None
+
+    bn, bm = FFN_BN, FFN_BM
+    grid = (m // bm, n // bn, h // bk)
+    slabs = k_eff // bn
+    out_dtype = jnp.dtype(dz_dtype) if dz_dtype is not None else g.dtype
+
+    levels2 = levels.reshape(1, -1).astype(jnp.float32)
+    sigma2 = sigma.reshape(n, 1).astype(jnp.float32)
+
+    kernel = functools.partial(_matmul_lut_bwd_kernel, spec, bm, grid[2],
+                               slabs)
+    out_shapes = (
+        jax.ShapeDtypeStruct((n, m), out_dtype),
+        jax.ShapeDtypeStruct((k_eff, m), jnp.float32),
+        jax.ShapeDtypeStruct((1, m), jnp.float32),
+    )
+    dz, sk, db = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, levels2.shape[1]), lambda j, i, k: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((bn, bk), lambda j, i, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bm), lambda j, i, k: (k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((spec.bits, gr, bm), lambda j, i, k: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, 1), lambda j, i, k: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((bn, bm), lambda j, i, k: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_eff, bm), lambda j, i, k: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bm), lambda j, i, k: (0, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((bn, bm), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * m * h + (spec.bits * 2 + (1 << spec.bits)) * n * m,
+            bytes_accessed=(n * h * grid[0] + h * m * grid[1])
+            * g.dtype.itemsize + n * m * out_dtype.itemsize
+            + spec.bits * n * m // 8 + k_eff * m * 4,
+            transcendentals=0,
+        ),
+        interpret=_interpret_mode(),
+    )(levels2, g, wt, packed, sigma2)
+    return dz, sk, db
+
+
+# ---------------------------------------------------------------------------
 # jnp mirror of the block decode (fallback + testing).
 # ---------------------------------------------------------------------------
 
