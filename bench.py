@@ -12,8 +12,10 @@ backward plus temporaries, the same "training memory minus params" delta the
 reference measures via ``max_memory_allocated - memory_allocated``
 (``benchmark/benchmark.py:165-188``).
 
-Step time: on-device ``fori_loop``-amortised (dispatch/relay latency would
-otherwise dominate; see tools/bench_kernels.py).
+Step time: the train step is wrapped in a jitted ``lax.fori_loop`` of
+LOOP_ITERS steps, so ONE dispatch (one host<->device round trip) measures the
+whole batch of steps — host dispatch/relay latency, which can stall for tens
+of seconds on this environment, is amortised to 1/LOOP_ITERS per step.
 
 Prints exactly ONE JSON line on stdout:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
@@ -67,6 +69,9 @@ SEQ = 128
 REF_SAVING_PCT = 32.7
 
 
+LOOP_ITERS = 20
+
+
 def build(gelu_bits, proj_dim_ratio, batch_size):
     from fewbit_tpu.models import (RobertaConfig,
                                    RobertaForSequenceClassification)
@@ -86,7 +91,7 @@ def build(gelu_bits, proj_dim_ratio, batch_size):
     jitted = jax.jit(step, donate_argnums=(0,))
     lowered = jitted.lower(state, batch, jax.random.key(0))
     compiled = lowered.compile()
-    return state, batch, compiled
+    return state, batch, step, compiled
 
 
 def measure_mem(compiled):
@@ -94,23 +99,35 @@ def measure_mem(compiled):
     return int(ma.temp_size_in_bytes)
 
 
-def measure_time(compiled, state, batch, iters=5, rounds=4,
-                 budget_s=120.0):
-    # Chained state defeats async dispatch; the execution relay on this
-    # environment occasionally stalls for tens of seconds, so take the best
-    # of several rounds under a wall-clock budget.
+def build_loop(step, state, batch):
+    """Compile ``LOOP_ITERS`` train steps as ONE on-device fori_loop."""
+
+    def loop(state, batch, key):
+        def body(i, carry):
+            st, _ = carry
+            st2, m = step(st, batch, jax.random.fold_in(key, i))
+            return st2, m["loss"].astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, LOOP_ITERS, body,
+                                 (state, jnp.zeros((), jnp.float32)))
+
+    jitted = jax.jit(loop, donate_argnums=(0,))
+    return jitted.lower(state, batch, jax.random.key(1)).compile()
+
+
+def measure_time(looped, state, batch, rounds=3, budget_s=150.0):
+    """Per-step time from single-dispatch fori_loop rounds (best of N)."""
     key = jax.random.key(1)
-    out_state, m = compiled(state, batch, key)
-    _ = float(m["loss"])  # full warm-up round trip
+    out_state, loss = looped(state, batch, key)
+    _ = float(loss)  # warm-up: one full dispatch + sync
     best = float("inf")
     start = time.perf_counter()
     for r in range(rounds):
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out_state, m = compiled(out_state, batch, key)
-        _ = float(m["loss"])
-        best = min(best, (time.perf_counter() - t0) / iters)
-        if r >= 1 and time.perf_counter() - start > budget_s:
+        out_state, loss = looped(out_state, batch, key)
+        _ = float(loss)
+        best = min(best, (time.perf_counter() - t0) / LOOP_ITERS)
+        if time.perf_counter() - start > budget_s:
             log(f"timing budget reached after round {r + 1}")
             break
     return best
@@ -122,7 +139,7 @@ def main():
     for batch in BATCH_LADDER:
         try:
             log(f"compiling vanilla step (bs={batch}, seq={SEQ})...")
-            sv, bv, comp_v = build(None, None, batch)
+            sv, bv, step_v, comp_v = build(None, None, batch)
             break
         except Exception as exc:  # noqa: BLE001 — OOM at this batch size
             log(f"bs={batch} failed ({type(exc).__name__}); trying smaller")
@@ -130,15 +147,21 @@ def main():
     log(f"vanilla temp: {mem_v / 2**30:.3f} GiB")
 
     log("compiling fewbit step (gelu3 + grp 0.2)...")
-    sf, bf, comp_f = build(3, 0.2, batch)
+    sf, bf, step_f, comp_f = build(3, 0.2, batch)
     mem_f = measure_mem(comp_f)
     log(f"fewbit temp: {mem_f / 2**30:.3f} GiB")
 
     saving_pct = 100.0 * (1.0 - mem_f / mem_v)
     log(f"memory saving: {saving_pct:.1f}% (reference headline: 32.7%)")
 
-    t_v = _with_deadline(180, measure_time, comp_v, sv, bv)
-    t_f = _with_deadline(180, measure_time, comp_f, sf, bf)
+    del comp_v, comp_f  # free the single-step executables before the loops
+    log(f"compiling {LOOP_ITERS}-step on-device timing loops...")
+    loop_v = _with_deadline(300, build_loop, step_v, sv, bv)
+    loop_f = _with_deadline(300, build_loop, step_f, sf, bf)
+    t_v = (_with_deadline(240, measure_time, loop_v, sv, bv)
+           if loop_v is not None else None)
+    t_f = (_with_deadline(240, measure_time, loop_f, sf, bf)
+           if loop_f is not None else None)
     if t_v and t_f:
         overhead_pct = 100.0 * (t_f / t_v - 1.0)
         log(f"step time: vanilla {t_v*1e3:.1f} ms, fewbit {t_f*1e3:.1f} ms "

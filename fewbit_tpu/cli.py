@@ -137,11 +137,18 @@ def main(argv=None) -> int:
 
         # The quantizer differentiates tiny 1-D batches; run it on the host
         # in float64 (TPU backends neither support f64 nor benefit here).
+        # Both flags are restored afterwards so an in-process caller (tests,
+        # a program that quantizes then trains) keeps its own configuration.
+        prev_platforms = jax.config.jax_platforms
         jax.config.update("jax_platforms", "cpu")
-        jax.config.update("jax_enable_x64", True)
-        return quantize(args.nobits, args.spec, args.output, args.max_iters,
-                        args.border_error, args.level_error, args.seed,
-                        args.domain, args.parity)
+        try:
+            with jax.enable_x64(True):
+                return quantize(args.nobits, args.spec, args.output,
+                                args.max_iters, args.border_error,
+                                args.level_error, args.seed, args.domain,
+                                args.parity)
+        finally:
+            jax.config.update("jax_platforms", prev_platforms)
     parser.print_usage()
     return 0
 

@@ -154,8 +154,10 @@ def _ffn_fwd(cfg, x, w_up, b_up, w_down, b_down, key, borders, levels):
     if _pallas_ok(cfg, n, kdim, m, h, x.dtype):
         from fewbit_tpu.ops import pallas_kernels as pk
 
+        # Under interpret mode the kernels skip the bf16 MXU cast so the
+        # jnp-parity tests compare like against like; mirror that here.
         y_dtype = (jnp.bfloat16 if x.dtype == jnp.float32.dtype
-                   else x.dtype)
+                   and not pk._interpret_mode() else x.dtype)
         triple = pk.fused_dense_act_sketch(spec, x2, w_up, b_up, borders,
                                            sig_down, k_eff, y_dtype=y_dtype)
     if triple is None:
@@ -199,11 +201,13 @@ def _ffn_bwd(cfg, residual, g):
     if packed.ndim == 3 and _pallas_ok(cfg, n, kdim, m, h, g2.dtype):
         from fewbit_tpu.ops import pallas_kernels as pk
 
-        gb = (g2.astype(jnp.bfloat16)
-              if g2.dtype == jnp.float32.dtype else g2)
+        # Same interpret-mode guard as the forward: bf16 is an MXU choice,
+        # not part of the op's semantics, so parity tests stay f32.
+        to_bf16 = (g2.dtype == jnp.float32.dtype
+                   and not pk._interpret_mode())
+        gb = g2.astype(jnp.bfloat16) if to_bf16 else g2
         wt = w_down.T.astype(gb.dtype)
-        dz_dtype = (jnp.bfloat16 if g2.dtype == jnp.float32.dtype
-                    else g2.dtype)
+        dz_dtype = jnp.bfloat16 if to_bf16 else g2.dtype
         out = pk.fused_matmul_lut_backward(spec, packed, levels, gb, wt,
                                            sig_up, k_eff, dz_dtype=dz_dtype)
     if out is None:

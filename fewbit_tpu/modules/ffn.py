@@ -9,6 +9,7 @@ import jax
 import jax.numpy as jnp
 
 from fewbit_tpu.functional.ffn import fewbit_ffn
+from fewbit_tpu.modules._rng import sketch_key
 
 __all__ = ("FewBitFFN",)
 
@@ -57,8 +58,7 @@ class FewBitFFN(nn.Module):
         down = down.astype(dtype)
         b_up = b_up.astype(dtype) if b_up is not None else None
         b_down = b_down.astype(dtype) if b_down is not None else None
-        key = (self.make_rng("sketch") if self.has_rng("sketch")
-               else jax.random.key(0))
+        key = sketch_key(self)
         return fewbit_ffn(
             x, up, b_up, down, b_down, key,
             activation=self.activation, bits=self.bits,

@@ -9,6 +9,7 @@ import jax
 import jax.numpy as jnp
 
 from fewbit_tpu.functional.fused import fewbit_dense_act
+from fewbit_tpu.modules._rng import sketch_key
 
 __all__ = ("FusedDenseActivation",)
 
@@ -46,12 +47,7 @@ class FusedDenseActivation(nn.Module):
         kernel = kernel.astype(dtype)
         bias = bias.astype(dtype) if bias is not None else None
         sketched = self.proj_dim_ratio is not None or self.proj_dim is not None
-        key = None
-        if sketched:
-            if self.has_rng("sketch"):
-                key = self.make_rng("sketch")
-            else:
-                key = jax.random.key(0)
+        key = sketch_key(self) if sketched else None
         return fewbit_dense_act(
             x, kernel, bias, key,
             activation=self.activation, bits=self.bits,

@@ -9,9 +9,10 @@ mis-passes ``proj_dim`` as the ``bias`` flag and whose ``extra_repr`` reads a
 nonexistent attribute — both deliberately not reproduced).
 
 Randomness: each call pulls a fresh key from the ``'sketch'`` RNG collection
-when one is provided at ``apply`` (training), and otherwise folds a
-deterministic counter key — so inference without RNGs still works (the
-sketch only affects gradients).
+when one is provided at ``apply`` (training); without one the layer falls
+back to a constant key WITH a warning — inference still works (the sketch
+only affects gradients), but training that way would freeze the sketch
+signs (see :mod:`fewbit_tpu.modules._rng`).
 """
 
 from __future__ import annotations
@@ -23,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from fewbit_tpu.functional.linear import linear_crs, linear_grp_native
+from fewbit_tpu.modules._rng import sketch_key
 
 __all__ = ("RandomizedDense", "LinearGRP", "RandomizedLinear", "DenseCRS",
            "LinearCRS")
@@ -48,11 +50,7 @@ class _SketchedBase(nn.Module):
         return x, kernel, bias
 
     def _key(self):
-        if self.has_rng("sketch"):
-            return self.make_rng("sketch")
-        if self.has_rng("params"):
-            return self.make_rng("params")
-        return jax.random.key(0)
+        return sketch_key(self)
 
 
 class RandomizedDense(_SketchedBase):

@@ -457,7 +457,8 @@ def countsketch_aligned_keff(n: int, k: int) -> Optional[int]:
 def _ffn_sketch_epilogue(i, slabs, block, sig_ref, sk_ref):
     """Accumulate a signed row-block into its bucket slab of the sketch."""
     signed = block * sig_ref[:].astype(jnp.float32)
-    slab = jax.lax.rem(i, slabs)
+    # program_id is int32; make the literal match so the kernel is x64-proof.
+    slab = jax.lax.rem(i, jnp.asarray(slabs, i.dtype))
 
     @pl.when(i < slabs)
     def _init():

@@ -180,3 +180,34 @@ class TestVarianceEstimator:
         corr, var_sgd, var_rmm = state.variance
         assert 0 <= corr <= 1 + 1e-6
         assert var_sgd > 0 and var_rmm > 0
+
+
+class TestSketchKeyPlumbing:
+    """A missing 'sketch' RNG must warn loudly: a constant fallback key
+    would freeze the sketch signs across steps (correlated gradient noise).
+    """
+
+    @pytest.mark.parametrize("make", [
+        lambda: M.RandomizedDense(features=8, proj_dim_ratio=0.25),
+        lambda: M.FusedDenseActivation(features=32, proj_dim_ratio=0.25),
+        lambda: M.FewBitFFN(inner_features=32, out_features=32,
+                            proj_dim_ratio=0.25),
+    ])
+    def test_warns_without_sketch_rng(self, make):
+        mod = make()
+        params = mod.init({"params": KEY, "sketch": KEY}, X)
+        with pytest.warns(UserWarning, match="sketch"):
+            mod.apply(params, X)
+
+    def test_no_warning_with_sketch_rng(self, recwarn):
+        mod = M.RandomizedDense(features=8, proj_dim_ratio=0.25)
+        params = mod.init({"params": KEY, "sketch": KEY}, X)
+        mod.apply(params, X, rngs={"sketch": KEY})
+        assert not [w for w in recwarn.list
+                    if "sketch" in str(w.message)]
+
+    def test_init_does_not_warn(self, recwarn):
+        mod = M.RandomizedDense(features=8, proj_dim_ratio=0.25)
+        mod.init({"params": KEY}, X)
+        assert not [w for w in recwarn.list
+                    if "sketch" in str(w.message)]
