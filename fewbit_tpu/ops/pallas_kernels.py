@@ -442,8 +442,12 @@ FFN_BM = 512  # column block (kept small: the sketch block is k_eff x FFN_BM)
 def countsketch_aligned_keff(n: int, k: int) -> Optional[int]:
     """Bucket count for the kernel-fused countsketch: the smallest multiple
     of FFN_BN that divides ``n`` and is >= ``k`` (never less accurate than
-    requested), within a 2x bucket budget.  None -> caller falls back to the
-    jnp sketch."""
+    requested), within a 2x bucket budget — EXCEPT for small ``k``: the
+    kernel's slab geometry floors the bucket count at FFN_BN, so for
+    ``k < FFN_BN/2`` the one candidate tried is FFN_BN itself even though it
+    exceeds 2x the request (more buckets = strictly lower sketch variance,
+    at FFN_BN x bm extra VMEM).  None -> caller falls back to the jnp
+    sketch."""
     if n % FFN_BN:
         return None
     k_eff = max(FFN_BN, _cdiv(k, FFN_BN) * FFN_BN)

@@ -1,5 +1,6 @@
 from fewbit_tpu.parallel.distributed import (  # noqa: F401
-    host_groups, init_distributed, make_pod_mesh, pod_mesh_spec)
+    assert_pod_collective_layout, collective_groups, host_groups,
+    init_distributed, make_pod_mesh, pod_mesh_spec)
 from fewbit_tpu.parallel.mesh import (  # noqa: F401
     data_parallel_step, fold_shard_key, make_mesh, replicate, shard_batch)
 from fewbit_tpu.parallel.tp import (  # noqa: F401

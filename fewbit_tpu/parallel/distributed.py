@@ -44,7 +44,8 @@ import jax
 from jax.sharding import Mesh
 
 __all__ = ("init_distributed", "make_pod_mesh", "pod_mesh_spec",
-           "host_groups")
+           "host_groups", "collective_groups",
+           "assert_pod_collective_layout")
 
 _ENV_COORD = ("FEWBIT_COORDINATOR", "JAX_COORDINATOR_ADDRESS")
 _ENV_NPROC = ("FEWBIT_NUM_PROCESSES",)
@@ -170,3 +171,106 @@ def make_pod_mesh(tp: int = 1,
               for g in groups]
     arr = np.concatenate(blocks, axis=0)
     return Mesh(arr, axis_names=("dp", "tp"))
+
+
+# ---------------------------------------------------------------------------
+# Compiled-HLO verification of the hierarchical collective layout.
+#
+# ``make_pod_mesh``'s docstring claims that with the host-major device order,
+# tp collectives stay inside one host's ICI domain and the dp gradient
+# all-reduce decomposes hierarchically over ICI then DCN.  These helpers turn
+# that claim into an assertion against the *compiled* executable: parse every
+# collective's replica groups out of the HLO text and check them against the
+# host partition.  Used by ``__graft_entry__.dryrun_multichip`` and
+# ``tests/test_distributed.py``.
+# ---------------------------------------------------------------------------
+
+_RG_LIST = r"replica_groups=\{(\{[0-9,\}\{ ]*\})\}"
+_RG_IOTA = (r"replica_groups=\[(\d+),(\d+)\]<=\[([0-9,]+)\]"
+            r"(?:T\(([0-9,]+)\))?")
+
+
+def collective_groups(hlo_text: str):
+    """Parse ``(op_kind, groups)`` for every collective in compiled HLO text.
+
+    Handles both replica-group encodings XLA emits: the explicit list form
+    ``replica_groups={{0,2},{1,3}}`` and the iota form
+    ``replica_groups=[2,2]<=[2,2]T(1,0)`` (reshape an iota of all ids to the
+    source dims, transpose by the permutation, reshape to groups x size).
+    Returns a list of ``(kind, tuple_of_group_tuples)``.
+    """
+    import re
+
+    out = []
+    kinds = ("all-reduce", "reduce-scatter", "all-gather",
+             "collective-permute", "all-to-all")
+    for line in hlo_text.splitlines():
+        kind = next((k for k in kinds if k in line), None)
+        if kind is None or "replica_groups=" not in line:
+            continue
+        m = re.search(_RG_LIST, line)
+        if m:
+            groups = tuple(
+                tuple(int(x) for x in grp.split(",") if x.strip())
+                for grp in re.findall(r"\{([0-9, ]*)\}", m.group(1)))
+            out.append((kind, groups))
+            continue
+        m = re.search(_RG_IOTA, line)
+        if m:
+            n_groups, group_size = int(m.group(1)), int(m.group(2))
+            dims = [int(x) for x in m.group(3).split(",")]
+            ids = np.arange(int(np.prod(dims))).reshape(dims)
+            if m.group(4):
+                ids = ids.transpose([int(x) for x in m.group(4).split(",")])
+            ids = ids.reshape(n_groups, group_size)
+            out.append((kind, tuple(tuple(int(x) for x in row)
+                                    for row in ids)))
+    return out
+
+
+def assert_pod_collective_layout(hlo_text: str, mesh: Mesh,
+                                 host_of) -> dict:
+    """Assert the compiled collectives respect the ICI/DCN hierarchy.
+
+    ``host_of``: device -> host index (for real pods ``d.process_index``;
+    for a simulated partition, position in the original device order divided
+    by the per-host count).  Every multi-participant collective group must
+    either (a) stay entirely inside one host — an ICI-only collective (the
+    tp psums), or (b) touch *every* host with the *same* number of members
+    per host — the balanced shape XLA decomposes into intra-host ICI
+    reduction plus one inter-host DCN exchange.  A lopsided group (e.g. 3
+    members on one host, 1 on another) would serialise on DCN and fails.
+
+    Returns ``{"intra_host": n, "cross_host": n}`` group counts so callers
+    can additionally assert that both kinds exist where expected.
+    """
+    flat = list(mesh.devices.flat)
+    n_hosts = len({host_of(d) for d in flat})
+    counts = {"intra_host": 0, "cross_host": 0}
+    parsed = collective_groups(hlo_text)
+    if not parsed:
+        raise AssertionError("no collectives found in compiled HLO")
+    for kind, groups in parsed:
+        for group in groups:
+            if len(group) <= 1:
+                continue
+            hosts_hit = {}
+            for pid in group:
+                h = host_of(flat[pid])
+                hosts_hit[h] = hosts_hit.get(h, 0) + 1
+            if len(hosts_hit) == 1:
+                counts["intra_host"] += 1
+                continue
+            counts["cross_host"] += 1
+            if len(hosts_hit) != n_hosts:
+                raise AssertionError(
+                    f"{kind} group {group} spans {len(hosts_hit)} of "
+                    f"{n_hosts} hosts — neither ICI-local nor a full "
+                    "hierarchical reduction")
+            per_host = set(hosts_hit.values())
+            if len(per_host) != 1:
+                raise AssertionError(
+                    f"{kind} group {group} is unbalanced across hosts "
+                    f"({hosts_hit}) — cannot decompose into ICI reduction "
+                    "+ one DCN exchange")
+    return counts

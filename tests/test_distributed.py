@@ -108,3 +108,75 @@ def test_pod_mesh_step_matches_plain_mesh():
 
     assert np.isfinite(losses["plain"])
     np.testing.assert_allclose(losses["plain"], losses["pod"], rtol=1e-5)
+
+
+def test_collective_groups_parses_both_encodings():
+    from fewbit_tpu.parallel import collective_groups
+
+    list_form = ('  %ar = f32[4] all-reduce(%x), channel_id=1, '
+                 'replica_groups={{0,2},{1,3}}, to_apply=%add')
+    iota_form = ('  %ar2 = f32[4] all-reduce(%x), channel_id=2, '
+                 'replica_groups=[2,2]<=[2,2]T(1,0), to_apply=%add')
+    parsed = collective_groups(list_form + "\n" + iota_form)
+    assert parsed[0] == ("all-reduce", ((0, 2), (1, 3)))
+    # iota [2,2]<=[2,2]T(1,0): arange(4).reshape(2,2).T -> {{0,2},{1,3}}
+    assert parsed[1] == ("all-reduce", ((0, 2), (1, 3)))
+
+
+def test_pod_collective_layout_rejects_lopsided_groups():
+    from fewbit_tpu.parallel import (assert_pod_collective_layout,
+                                     make_pod_mesh)
+
+    devices = jax.devices()[:8]
+    mesh = make_pod_mesh(tp=2, hosts=2, devices=devices)
+    pos = {id(d): i for i, d in enumerate(devices)}
+    host_of = lambda d: pos[id(d)] // 4  # noqa: E731
+
+    ok = "%ar = f32[2] all-reduce(%x), replica_groups={{0,2,4,6},{1,3,5,7}}"
+    counts = assert_pod_collective_layout(ok, mesh, host_of)
+    assert counts == {"intra_host": 0, "cross_host": 2}
+
+    bad = "%ar = f32[2] all-reduce(%x), replica_groups={{0,1,2,4}}"
+    with pytest.raises(AssertionError, match="unbalanced"):
+        assert_pod_collective_layout(bad, mesh, host_of)
+
+    with pytest.raises(AssertionError, match="no collectives"):
+        assert_pod_collective_layout("%add = f32[] add(%a, %b)", mesh,
+                                     host_of)
+
+
+def test_pod_mesh_step_collectives_are_hierarchical():
+    """The COMPILED dp x tp pod-mesh training step's collectives respect the
+    ICI/DCN hierarchy: tp psums stay inside a simulated host, the dp
+    gradient all-reduce touches both hosts with equal membership (the shape
+    XLA decomposes into ICI reduction + one DCN exchange) — the
+    `parallel/distributed.py` layout claim, verified from the executable."""
+    from fewbit_tpu.models import RobertaConfig, \
+        RobertaForSequenceClassification
+    from fewbit_tpu.parallel import assert_pod_collective_layout
+    from fewbit_tpu.train import TrainConfig, make_train_step, synthetic_glue
+
+    devices = jax.devices()[:8]
+    mesh = make_pod_mesh(tp=2, hosts=2, devices=devices)
+    cfg = RobertaConfig(vocab_size=64, hidden_size=16, num_layers=1,
+                        num_heads=2, intermediate_size=32,
+                        max_position_embeddings=34, num_labels=2,
+                        gelu_bits=3, proj_dim_ratio=0.5,
+                        tp_axis="tp", tp_size=2,
+                        hidden_dropout=0.0, attention_dropout=0.0)
+    model = RobertaForSequenceClassification(cfg)
+    batch = {k: jnp.asarray(v) for k, v in
+             next(synthetic_glue(8, seq_len=8,
+                                 vocab_size=cfg.vocab_size)).items()}
+    state, specs = init_dp_tp_state(
+        model, TrainConfig(total_steps=4, learning_rate=1e-4), batch, mesh)
+    step = dp_tp_train_step(make_train_step(model, dp_axis="dp"), mesh,
+                            specs)
+    hlo = step.lower(state, shard_batch(batch, mesh),
+                     jax.random.key(0)).compile().as_text()
+
+    pos = {id(d): i for i, d in enumerate(devices)}
+    counts = assert_pod_collective_layout(
+        hlo, mesh, host_of=lambda d: pos[id(d)] // 4)
+    assert counts["intra_host"] > 0, "expected ICI-local tp psums"
+    assert counts["cross_host"] > 0, "expected a cross-host dp all-reduce"
