@@ -45,6 +45,11 @@ def main():
                              "it with tools/prepare_mrpc.py on a connected "
                              "machine). Default: synthetic MRPC-shaped data.")
     parser.add_argument("--eval-every", type=int, default=25)
+    parser.add_argument("--log-dir", type=Path, default=None,
+                        help="write metrics.jsonl for this run under "
+                             "LOG_DIR/<param>/<task>/ (summarise runs with "
+                             "tools/summarize_runs.py — the reference's "
+                             "TensorBoard+postprocessing pipeline)")
     args = parser.parse_args()
 
     import jax
@@ -99,6 +104,16 @@ def main():
             correct += float(evaluate(state, eb)["accuracy"]) * args.batch
         return correct / (len(eval_batches) * args.batch)
 
+    logger = None
+    if args.log_dir:
+        from fewbit_tpu.metrics import MetricsLogger
+
+        param = (f"gelu{args.num_bits or 0}-"
+                 f"rand{int(100 * (args.proj_dim_ratio or 0))}%")
+        task = "mrpc" if args.glue else "synthetic"
+        logger = MetricsLogger(args.log_dir / param / task,
+                               task=task, param=param)
+
     print(f"config: {cfg.num_layers}L/{cfg.hidden_size}H gelu_bits="
           f"{cfg.gelu_bits} proj_dim_ratio={cfg.proj_dim_ratio}")
     t0 = time.time()
@@ -106,13 +121,21 @@ def main():
     for i in range(args.steps):
         batch = {k: jnp.asarray(v) for k, v in next(data).items()}
         state, metrics = step(state, batch, jax.random.fold_in(key, i))
+        if logger:
+            logger.log(i + 1, **{"train/loss": float(metrics["loss"])})
         if (i + 1) % args.eval_every == 0 or i == 0:
             acc = run_eval(state)
             which = "val" if eval_batches is not None else "holdout"
+            if logger:
+                logger.log(i + 1, **{"eval/accuracy": acc})
             print(f"step {i+1:4d}  loss {float(metrics['loss']):.4f}  "
                   f"{which} acc {acc:.3f}  ({time.time()-t0:.1f}s)")
+    final_acc = run_eval(state)
+    if logger:
+        logger.log(args.steps, **{"eval/accuracy": final_acc})
+        logger.close()
     print(f"final {'val' if eval_batches is not None else 'holdout'} "
-          f"accuracy: {run_eval(state):.4f}")
+          f"accuracy: {final_acc:.4f}")
 
     if args.checkpoint_dir:
         save_checkpoint(args.checkpoint_dir / "final", state)

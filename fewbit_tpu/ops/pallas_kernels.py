@@ -42,6 +42,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 GROUP = 32  # codes per uint32 word (one bit per bit-plane word)
 
+# Mosaic's default scoped-VMEM budget (16 MiB) is tighter than the hardware
+# (v5e has 128 MiB of VMEM); the 512-row double-buffered blocks plus the
+# compare/pack temporaries need ~18-20 MiB at wide shapes.  Raise the limit
+# rather than shrink the blocks — the block geometry is the packed-residual
+# layout contract between forward and backward, and the larger blocks are
+# measured faster on every headline shape.
+VMEM_LIMIT = 64 * 1024 * 1024
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)
+
+
 _SUPPORTED_DTYPES = (jnp.float32, jnp.bfloat16)
 
 
@@ -203,6 +216,7 @@ def fused_forward(spec, x: jax.Array,
             transcendentals=r * c,
         ),
         interpret=_interpret_mode(),
+        compiler_params=_compiler_params(),
     )(borders2, x2)
     return y.reshape(x.shape), packed
 
@@ -270,6 +284,7 @@ def fused_backward(spec, packed: jax.Array, levels: jax.Array,
             transcendentals=0,
         ),
         interpret=_interpret_mode(),
+        compiler_params=_compiler_params(),
     )(levels2, packed, g2)
     return dx.reshape(g.shape)
 
@@ -401,6 +416,7 @@ def fused_dense_act(spec, x: jax.Array, w: jax.Array, bias, borders
             transcendentals=n * m,
         ),
         interpret=_interpret_mode(),
+        compiler_params=_compiler_params(),
     )(borders2, x, w, bias2)
     return y, packed
 
@@ -588,6 +604,7 @@ def fused_dense_act_sketch(spec, x: jax.Array, w: jax.Array, bias,
             transcendentals=n * m,
         ),
         interpret=_interpret_mode(),
+        compiler_params=_compiler_params(),
     )(borders2, x, w, bias2, sigma2)
     return y, packed, sk
 
@@ -708,6 +725,7 @@ def fused_matmul_lut_backward(spec, packed: jax.Array, levels: jax.Array,
             transcendentals=0,
         ),
         interpret=_interpret_mode(),
+        compiler_params=_compiler_params(),
     )(levels2, g, wt, packed, sigma2)
     return dz, sk, db
 
