@@ -87,10 +87,12 @@ def build(gelu_bits, proj_dim_ratio, batch_size):
     batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
     state = create_train_state(
         model, TrainConfig(total_steps=100, learning_rate=1e-5), batch)
+    from fewbit_tpu.util import tpu_compile_options
+
     step = make_train_step(model)
     jitted = jax.jit(step, donate_argnums=(0,))
     lowered = jitted.lower(state, batch, jax.random.key(0))
-    compiled = lowered.compile()
+    compiled = lowered.compile(compiler_options=tpu_compile_options())
     return state, batch, step, compiled
 
 
@@ -101,6 +103,7 @@ def measure_mem(compiled):
 
 def build_loop(step, state, batch):
     """Compile ``LOOP_ITERS`` train steps as ONE on-device fori_loop."""
+    from fewbit_tpu.util import tpu_compile_options
 
     def loop(state, batch, key):
         def body(i, carry):
@@ -112,7 +115,8 @@ def build_loop(step, state, batch):
                                  (state, jnp.zeros((), jnp.float32)))
 
     jitted = jax.jit(loop, donate_argnums=(0,))
-    return jitted.lower(state, batch, jax.random.key(1)).compile()
+    return jitted.lower(state, batch, jax.random.key(1)).compile(
+        compiler_options=tpu_compile_options())
 
 
 def measure_time(looped, state, batch, rounds=3, budget_s=150.0):

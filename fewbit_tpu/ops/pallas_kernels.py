@@ -44,11 +44,13 @@ GROUP = 32  # codes per uint32 word (one bit per bit-plane word)
 
 # Mosaic's default scoped-VMEM budget (16 MiB) is tighter than the hardware
 # (v5e has 128 MiB of VMEM); the 512-row double-buffered blocks plus the
-# compare/pack temporaries need ~18-20 MiB at wide shapes.  Raise the limit
-# rather than shrink the blocks — the block geometry is the packed-residual
-# layout contract between forward and backward, and the larger blocks are
-# measured faster on every headline shape.
-VMEM_LIMIT = 64 * 1024 * 1024
+# compare/pack temporaries need ~18-20 MiB at wide shapes, and the FFN
+# sketch kernels' (k_eff, bm) accumulator block reaches ~68 MiB at bs=128
+# (k_eff = 4096).  Raise the limit rather than shrink the blocks — the
+# block geometry is the packed-residual layout contract between forward and
+# backward, and the larger blocks are measured faster on every headline
+# shape.
+VMEM_LIMIT = 100 * 1024 * 1024
 
 
 def _compiler_params():

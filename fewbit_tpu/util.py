@@ -31,7 +31,24 @@ except ImportError:  # pragma: no cover
 __all__ = ("map_module", "convert_linear", "residual_shapes",
            "estimate_memory_usage", "memory_delta_bytes",
            "device_memory_stats", "peak_memory_bytes", "profile_trace",
-           "compiled_memory_stats")
+           "compiled_memory_stats", "tpu_compile_options")
+
+
+def tpu_compile_options(scoped_vmem_kib: int = 96 * 1024) -> dict:
+    """Compiler options for ``jitted.lower(...).compile(compiler_options=…)``
+    on TPU backends.
+
+    XLA's scoped-VMEM pass defaults to a 16 MiB stack budget, which the
+    fused FFN-sketch kernels exceed at large batch (their ``(k_eff, bm)``
+    accumulator block scales with the sketch size).  The Pallas-level
+    ``vmem_limit_bytes`` (see ``ops.pallas_kernels.VMEM_LIMIT``) governs the
+    kernel body only; the fusion *around* the custom call is governed by
+    ``xla_tpu_scoped_vmem_limit_kib``, settable per-compile here (the
+    client-side XLA_FLAGS parser rejects it as unknown).  Returns ``{}`` on
+    non-TPU backends, where the option is meaningless."""
+    if jax.default_backend() != "tpu":
+        return {}
+    return {"xla_tpu_scoped_vmem_limit_kib": str(scoped_vmem_kib)}
 
 
 # ---------------------------------------------------------------------------

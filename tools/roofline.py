@@ -38,7 +38,7 @@ from jax import lax
 HBM_PEAK = 819e9          # TPU v5e: 819 GB/s per chip
 MXU_PEAK = 197e12         # TPU v5e: 197 TFLOP/s bf16
 
-ITERS = 20
+ITERS = 50
 ROUNDS = 3
 
 # Shapes: elementwise at the reference op-benchmark size (128*1024^2
@@ -46,6 +46,7 @@ ROUNDS = 3
 # up-projection shape (bs=64 x seq=128 tokens, 768 -> 3072).
 EW_R, EW_C = 131072, 1024
 N, K, M = 8192, 768, 3072
+SEQ_HEADLINE = 128
 
 
 def log(*a):
@@ -53,19 +54,36 @@ def log(*a):
 
 
 def timed_loop(body, carry, iters=ITERS, rounds=ROUNDS):
-    """Best per-iteration time of ``iters`` fori_loop steps, one dispatch."""
+    """Best per-iteration time of ``iters`` fori_loop steps, one dispatch.
+
+    Two protocol hazards on this environment, both worked around here:
+
+    * the trip count is passed as a TRACED scalar — with a static bound XLA
+      unrolls the loop and fuses elementwise bodies across iterations (20
+      chained gelus collapse into one read-once kernel), faking a 20x
+      bandwidth win;
+    * ``block_until_ready`` is a no-op on the axon relay (measured: a
+      537 MB x 200-iteration gelu loop "completes" in 0.06 ms) — only a
+      literal data READBACK synchronises, so each round ends with a scalar
+      fetch.  The readback's relay round-trip (~1-5 ms) is amortised over
+      ``iters`` iterations.
+    """
 
     @jax.jit
-    def run(c):
-        return lax.fori_loop(0, iters, body, c)
+    def run(c, n):
+        return lax.fori_loop(0, n, body, c)
 
-    out = run(carry)
-    jax.block_until_ready(out)  # compile + warm
+    def sync(c):
+        return float(jnp.asarray(c[(0,) * c.ndim]))
+
+    n = jnp.int32(iters)
+    out = run(carry, n)
+    sync(out)  # compile + warm
     best = float("inf")
     for _ in range(rounds):
         t0 = time.perf_counter()
-        out = run(out)
-        jax.block_until_ready(out)
+        out = run(out, n)
+        sync(out)
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
 
@@ -136,7 +154,9 @@ def measure_matmul(spec, borders, levels, bits):
                                             sigma, k_eff,
                                             y_dtype=jnp.bfloat16))(x)
     g = jax.random.normal(jax.random.key(4), (N, K), jnp.bfloat16)
-    wt = jnp.asarray(w.T[:K], jnp.bfloat16)  # (H=K, M): down-proj transposed
+    # (H=K, M): the down projection (M, H) pre-transposed by the caller —
+    # same shape as the up kernel, so reuse it.
+    wt = w.astype(jnp.bfloat16)
 
     def mlb_body(i, c):
         dz, _sk, _db = pk.fused_matmul_lut_backward(
@@ -155,9 +175,62 @@ def measure_matmul(spec, borders, levels, bits):
     ]
 
 
+def measure_xla_baselines():
+    """What plain XLA achieves on this chip at the same shapes — the
+    *attainable* roofline the fused kernels are judged against (theoretical
+    peaks are never reached by either side at these shapes)."""
+    x = jax.random.normal(jax.random.key(0), (EW_R, EW_C), jnp.float32)
+    n = EW_R * EW_C
+
+    def gelu_body(i, y):
+        return jax.nn.gelu(y, approximate=False)
+
+    t_gelu = timed_loop(gelu_body, x)
+
+    xb = jax.random.normal(jax.random.key(1), (N, K), jnp.bfloat16)
+    wb = jax.random.normal(jax.random.key(2), (K, M), jnp.bfloat16) * 0.02
+
+    def mm_body(i, c):
+        y = c @ wb
+        return touch(c, y)
+
+    t_mm = timed_loop(mm_body, xb)
+    flops = 2.0 * N * K * M
+    return [
+        ("XLA gelu fwd (f32, baseline)", t_gelu, 8 * n, None),
+        ("XLA matmul (bf16, baseline)", t_mm,
+         2 * N * K + 2 * K * M + 2 * N * M, flops),
+    ]
+
+
+def roberta_step_flops(batch=64, seq=128, hidden=768, layers=12,
+                       inter=3072, sketch_ratio=None):
+    """Analytic matmul FLOPs of one RoBERTa-base training step.
+
+    (XLA's ``cost_analysis()['flops']`` undercounts ~10x on this backend, so
+    MFU is computed from first principles.)  Per layer: QKV+out 4h² + FFN
+    2·h·inter matmul params; training = 6x (2 fwd + 2 dx + 2 dW); attention
+    scores/values add 4s²h fwd (x3 for training).  A sketched linear
+    replaces the dW term 2·N·d·m with 2·k·d·m, k = ratio-aligned bucket
+    count (k_eff/N = 0.25 at the headline 20% ratio, see
+    ``countsketch_aligned_keff``)."""
+    tokens = batch * seq
+    matmul_params = layers * (4 * hidden * hidden + 2 * hidden * inter)
+    dW_scale = 1.0
+    if sketch_ratio is not None:
+        from fewbit_tpu.ops.pallas_kernels import countsketch_aligned_keff
+        k_eff = countsketch_aligned_keff(tokens, int(sketch_ratio * tokens))
+        dW_scale = (k_eff / tokens) if k_eff else sketch_ratio
+    fwd = 2 * matmul_params * tokens
+    dx = 2 * matmul_params * tokens
+    dW = 2 * matmul_params * tokens * dW_scale
+    attn = 3 * (4 * seq * seq * hidden) * layers * batch
+    return fwd + dx + dW + attn
+
+
 def headline_mfu():
-    """Compile the bench.py headline steps; MFU from cost_analysis FLOPs and
-    the same on-device fori_loop timing bench.py uses."""
+    """Compile the bench.py headline steps; MFU from analytic FLOPs and the
+    same on-device fori_loop timing bench.py uses."""
     import bench
 
     rows = []
@@ -165,40 +238,60 @@ def headline_mfu():
                            ("fewbit", (3, 0.2))):
         log(f"compiling headline step ({name})...")
         state, batch, step, compiled = bench.build(gb, pr, 64)
-        ca = compiled.cost_analysis()
-        flops = float(ca.get("flops", 0.0))
+        flops = roberta_step_flops(batch=64, seq=SEQ_HEADLINE,
+                                   sketch_ratio=pr)
+        ca_flops = float(compiled.cost_analysis().get("flops", 0.0))
         del compiled
         looped = bench.build_loop(step, state, batch)
         t = bench.measure_time(looped, state, batch)
         rows.append((name, t, flops, flops / t / MXU_PEAK))
-        log(f"{name}: {t*1e3:.1f} ms, {flops/1e12:.2f} TFLOP "
+        log(f"{name}: {t*1e3:.1f} ms, {flops/1e12:.2f} TFLOP analytic "
+            f"(cost_analysis says {ca_flops/1e12:.2f}) "
             f"-> MFU {100*flops/t/MXU_PEAK:.1f}%")
     return rows
 
 
 def memcheck():
-    """One-time cross-check of the bench memory metric: XLA's static
-    ``temp_size_in_bytes`` vs the runtime allocator's ``peak_bytes_in_use``
-    delta for the same compiled step."""
+    """One-time validation of the bench memory metric.
+
+    The relay device exposes no runtime allocator stats
+    (``Device.memory_stats()`` is None), so XLA's static
+    ``temp_size_in_bytes`` is validated by OOM-bracketing against the
+    chip's real 16 GiB HBM: configs whose predicted peak
+    (args + temp, aliasing discounted) lands under the budget must RUN,
+    configs predicted over it must OOM.  Any inversion would falsify the
+    static metric."""
     import bench
 
-    dev = jax.local_devices()[0]
-    state, batch, step, compiled = bench.build(3, 0.2, 64)
-    ma = compiled.memory_analysis()
-    stats0 = dev.memory_stats()
-    base = stats0["bytes_in_use"]
-    out, m = compiled(state, batch, jax.random.key(0))
-    jax.block_until_ready(m["loss"])
-    peak = dev.memory_stats()["peak_bytes_in_use"]
-    print(json.dumps({
-        "temp_size_in_bytes": int(ma.temp_size_in_bytes),
-        "argument_size_in_bytes": int(ma.argument_size_in_bytes),
-        "output_size_in_bytes": int(ma.output_size_in_bytes),
-        "alias_size_in_bytes": int(ma.alias_size_in_bytes),
-        "bytes_in_use_before": int(base),
-        "peak_bytes_in_use": int(peak),
-        "runtime_peak_delta": int(peak - base),
-    }))
+    HBM = 16 * 2**30
+    results = []
+    for name, (gb, pr, bs) in (
+        ("vanilla_bs64", (None, None, 64)),     # ~10.8 GiB -> runs
+        ("fewbit_bs128", (3, 0.2, 128)),        # ~11.8 GiB -> runs
+        ("vanilla_bs128", (None, None, 128)),   # ~20.8 GiB -> OOM
+    ):
+        try:
+            state, batch, step, compiled = bench.build(gb, pr, bs)
+            ma = compiled.memory_analysis()
+            predicted = int(ma.argument_size_in_bytes
+                            + ma.temp_size_in_bytes
+                            - ma.alias_size_in_bytes
+                            + ma.output_size_in_bytes)
+            try:
+                out, m = compiled(state, batch, jax.random.key(0))
+                loss = float(m["loss"])  # readback = real sync
+                ran = True
+            except Exception as exc:  # noqa: BLE001 — runtime OOM
+                ran = False
+            del state, batch, compiled
+        except Exception as exc:  # noqa: BLE001 — compile-time OOM
+            predicted, ran = None, False
+        consistent = (predicted is None or
+                      (predicted < HBM) == ran)
+        results.append({"config": name, "predicted_bytes": predicted,
+                        "ran": ran, "consistent_with_16GiB": consistent})
+        log(results[-1])
+    print(json.dumps(results))
 
 
 def main():
@@ -218,7 +311,8 @@ def main():
 
     log("backend:", jax.default_backend(),
         jax.local_devices()[0].device_kind)
-    rows = []
+    log("measuring XLA baselines...")
+    rows = measure_xla_baselines()
     for bits in args.bits:
         spec, borders, levels = resolve_activation("gelu", bits=bits)
         log(f"measuring {bits}-bit kernels...")
