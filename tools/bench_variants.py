@@ -4,20 +4,51 @@ Times the compiled step for each few-bit configuration variant so the
 step-time overhead can be attributed (megakernel vs elementwise FFN path,
 sketched linears, etc.).  Run on real TPU hardware.
 
+Timing protocol matches bench.py: the train step is wrapped in a jitted
+``lax.fori_loop`` so ONE dispatch measures LOOP_ITERS steps — the
+execution relay's per-dispatch latency and sporadic multi-second stalls
+divide out.
+
     python tools/bench_variants.py [--batch 64] [--seq 128] [--filter re]
 """
 
 import argparse
 import json
+import signal
 import sys
 import time
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
 
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+LOOP_ITERS = 20
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+class _Timeout(Exception):
+    pass
+
+
+def _with_deadline(seconds, fn, *args, default=None):
+    def handler(signum, frame):
+        raise _Timeout()
+
+    old = signal.signal(signal.SIGALRM, handler)
+    signal.alarm(int(seconds))
+    try:
+        return fn(*args)
+    except _Timeout:
+        log(f"deadline of {seconds}s expired")
+        return default
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 
 def build(batch_size, seq, **cfg_kw):
@@ -25,6 +56,7 @@ def build(batch_size, seq, **cfg_kw):
                                    RobertaForSequenceClassification)
     from fewbit_tpu.train import (TrainConfig, create_train_state,
                                   make_train_step, synthetic_glue)
+    from fewbit_tpu.util import tpu_compile_options
 
     cfg = RobertaConfig(dtype=jnp.float32, **cfg_kw)
     model = RobertaForSequenceClassification(cfg)
@@ -34,24 +66,40 @@ def build(batch_size, seq, **cfg_kw):
     state = create_train_state(
         model, TrainConfig(total_steps=100, learning_rate=1e-5), batch)
     step = make_train_step(model)
-    compiled = jax.jit(step, donate_argnums=(0,)).lower(
-        state, batch, jax.random.key(0)).compile()
-    return state, batch, compiled
+
+    def loop(st, bt, key):
+        def body(i, carry):
+            s, _ = carry
+            s2, m = step(s, bt, jax.random.fold_in(key, i))
+            return s2, m["loss"].astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, LOOP_ITERS, body,
+                                 (st, jnp.zeros((), jnp.float32)))
+
+    looped = jax.jit(loop, donate_argnums=(0,)).lower(
+        state, batch, jax.random.key(1)).compile(
+        compiler_options=tpu_compile_options())
+    # Loop temp ~= per-step temp: the fori_loop body reuses one step's
+    # scratch, so memory_analysis of the looped executable reports the
+    # steady-state per-step footprint (plus the loop carry).
+    mem = int(looped.memory_analysis().temp_size_in_bytes)
+    return state, batch, looped, mem
 
 
-def measure(compiled, state, batch, iters=5, rounds=4, budget_s=90.0):
+def measure(looped, state, batch, rounds=3, budget_s=120.0):
+    """Per-step time from single-dispatch fori_loop rounds (best of N)."""
     key = jax.random.key(1)
-    out_state, m = compiled(state, batch, key)
-    _ = float(m["loss"])
+    out_state, loss = looped(state, batch, key)
+    _ = float(loss)  # warm-up dispatch + sync
     best = float("inf")
     start = time.perf_counter()
     for r in range(rounds):
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out_state, m = compiled(out_state, batch, key)
-        _ = float(m["loss"])
-        best = min(best, (time.perf_counter() - t0) / iters)
-        if r >= 1 and time.perf_counter() - start > budget_s:
+        out_state, loss = looped(out_state, batch, key)
+        _ = float(loss)
+        best = min(best, (time.perf_counter() - t0) / LOOP_ITERS)
+        if time.perf_counter() - start > budget_s:
+            log(f"timing budget reached after round {r + 1}")
             break
     return best
 
@@ -82,16 +130,21 @@ def main():
         if args.filter and args.filter not in name:
             continue
         log(f"compiling {name} ...")
-        state, batch, compiled = build(args.batch, args.seq, **kw)
-        mem = int(compiled.memory_analysis().temp_size_in_bytes)
-        t = measure(compiled, state, batch)
-        del state, batch, compiled
-        results[name] = {"ms": round(t * 1e3, 2),
-                         "temp_gib": round(mem / 2**30, 3)}
-        if name == "vanilla":
-            base = t
-        if base:
-            results[name]["overhead_pct"] = round(100 * (t / base - 1), 1)
+        try:
+            state, batch, looped, mem = build(args.batch, args.seq, **kw)
+        except Exception as exc:  # noqa: BLE001 — OOM / lowering failure
+            log(f"{name} failed: {type(exc).__name__}: {exc}")
+            results[name] = {"error": type(exc).__name__}
+            continue
+        t = _with_deadline(240, measure, looped, state, batch)
+        del state, batch, looped
+        results[name] = {"temp_gib": round(mem / 2**30, 3)}
+        if t is not None:
+            results[name]["ms"] = round(t * 1e3, 2)
+            if name == "vanilla":
+                base = t
+            if base and t:
+                results[name]["overhead_pct"] = round(100 * (t / base - 1), 1)
         log(name, results[name])
     print(json.dumps(results, indent=1))
 
