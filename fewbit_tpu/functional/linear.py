@@ -241,6 +241,37 @@ def _sketch(cfg: _GRPConfig, key: jax.Array, mat: jax.Array,
     raise ValueError(f"unknown matmul kind: {cfg.matmul!r}")
 
 
+def _fused_cs_keff(cfg: _GRPConfig, n: int, kdim: int, m: int,
+                   dtype) -> Optional[int]:
+    """Aligned bucket count when BOTH directions of the fused
+    matmul+input-sketch kernel are in envelope, else None.
+
+    Must be a pure function of static shapes so forward and backward make
+    the same decision: the forward stores sketch(x) with this partition and
+    the backward's sketch(dy) must contract against it bucket-for-bucket.
+    """
+    if cfg.matmul != "countsketch":
+        return None
+    from fewbit_tpu.ops.activations import _use_pallas
+
+    if not _use_pallas():
+        return None
+    from fewbit_tpu.ops import pallas_kernels as pk
+
+    k = cfg.proj_features
+    ke_fwd = pk.matmul_sketch_keff(n, kdim, m, k, dtype)
+    ke_bwd = pk.matmul_sketch_keff(n, m, kdim, k, dtype)
+    if ke_fwd is None or ke_fwd != ke_bwd:
+        return None
+    return ke_fwd
+
+
+def _cs_signs(key: jax.Array, n: int, dtype) -> jax.Array:
+    # The SAME sign draw the jnp countsketch in _sketch uses — forward and
+    # backward projections must share it for the estimator to be unbiased.
+    return jax.random.bernoulli(key, 0.5, (n,)).astype(dtype) * 2.0 - 1.0
+
+
 # Core VJP in natural (in, out) weight orientation — every matmul in
 # forward and backward runs without a threaded transpose (the torch-style
 # (out, in) public API transposes once at the boundary and AD transposes the
@@ -254,8 +285,23 @@ def _linear_grp_core(cfg: _GRPConfig, x, kernel, bias, key):
 
 
 def _linear_grp_core_fwd(cfg, x, kernel, bias, key):
-    y = _linear_grp_core(cfg, x, kernel, bias, key)
     x2 = x.reshape(-1, x.shape[-1])
+    k_eff = _fused_cs_keff(cfg, x2.shape[0], kernel.shape[0],
+                           kernel.shape[1], x.dtype)
+    if k_eff is not None:
+        # Fused path: the sketch rides the matmul's own read of x instead
+        # of a second HBM pass (ops/pallas_kernels.py:
+        # fused_matmul_input_sketch).  Stride partition r -> r mod k_eff
+        # with k_eff >= cfg.proj_features: never less accurate than asked.
+        from fewbit_tpu.ops.pallas_kernels import fused_matmul_input_sketch
+
+        sigma = _cs_signs(key, x2.shape[0], jnp.float32)
+        out = fused_matmul_input_sketch(x2, kernel, bias, sigma, k_eff)
+        if out is not None:
+            y2, sketch = out
+            y = y2.reshape(*x.shape[:-1], kernel.shape[1])
+            return y, (sketch, kernel, key)
+    y = _linear_grp_core(cfg, x, kernel, bias, key)
     sketch = _sketch(cfg, key, x2, normalise=True)
     return y, (sketch, kernel, key)
 
@@ -263,6 +309,25 @@ def _linear_grp_core_fwd(cfg, x, kernel, bias, key):
 def _linear_grp_core_bwd(cfg, residual, g):
     sketch, kernel, key = residual
     g2 = g.reshape(-1, g.shape[-1])
+    k_eff = _fused_cs_keff(cfg, g2.shape[0], kernel.shape[0],
+                           kernel.shape[1], g.dtype)
+    if k_eff is not None:
+        from fewbit_tpu.ops.pallas_kernels import fused_matmul_input_sketch
+
+        sigma = _cs_signs(key, g2.shape[0], jnp.float32)
+        out = fused_matmul_input_sketch(g2, kernel.T, None, sigma, k_eff,
+                                        want_colsum=cfg.has_bias)
+        if out is not None:
+            if cfg.has_bias:
+                grad_x2, g_proj, grad_b = out
+            else:
+                grad_x2, g_proj = out
+                grad_b = None
+            grad_x = grad_x2.reshape(*g.shape[:-1], kernel.shape[0])
+            grad_k = (sketch.T @ g_proj).astype(kernel.dtype)
+            return (grad_x.astype(g.dtype), grad_k,
+                    grad_b.astype(g.dtype) if grad_b is not None else None,
+                    _int_zero_cot(key))
     grad_x = (g2 @ kernel.T).reshape(*g.shape[:-1], kernel.shape[0])
     g_proj = _sketch(cfg, key, g2, normalise=False)
     grad_k = sketch.T @ g_proj

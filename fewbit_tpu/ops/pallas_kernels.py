@@ -757,3 +757,188 @@ def unpack_block_layout(packed: jax.Array, bits: int, shape) -> jax.Array:
             codes = codes.at[blk * br + i * gr: blk * br + (i + 1) * gr,
                              :].set(code)
     return codes[:r, :c].reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# Fused matmul + INPUT countsketch (+ column sum) — the sketched-linear
+# kernel for blocks with no few-bit activation (attention QKV/out
+# projections).
+#
+# RandomizedDense stores countsketch(x) as its backward residual and
+# sketches the output gradient dy on the way back
+# (functional/linear.py:_linear_grp_core_fwd/_bwd); both sketches are a
+# full extra HBM pass over an (N, d) tensor that the adjacent matmul
+# already streams.  This kernel rides the sketch on the matmul's own
+# x-read:
+#
+#   forward:   y = x @ w (+ b)   AND   sk[b, :] = sum_{r = b mod k_eff} s_r x[r, :]
+#   backward:  dx = dy @ w^T     AND   sketch(dy)   AND   db = sum_r dy[r, :]
+#
+# Geometry: with the stride partition (row r -> bucket r mod k_eff) and
+# k_eff a multiple of the row block FFN_BN, the rows of block i all land in
+# slab (i mod S), S = k_eff / FFN_BN, at within-slab offset = their local
+# row — so the in-kernel sketch update is literally ``slab += signs * x``.
+# The grid is ordered (slab s OUTER, pass c middle, reduction k inner):
+# x row-blocks are enumerated slab-major (block index c*S + s), the slab's
+# (FFN_BN, kdim) accumulator lives in VMEM scratch across the whole
+# (c, k) sweep, and each sketch output block is written exactly once.
+# ---------------------------------------------------------------------------
+
+
+def matmul_sketch_keff(n: int, kdim: int, m: int, k: int,
+                       dtype) -> Optional[int]:
+    """Envelope check for :func:`fused_matmul_input_sketch`; returns the
+    aligned bucket count, or None when the caller must fall back to the
+    unfused jnp path.  ``m``/``kdim`` caps keep the full-width accumulator
+    blocks inside a conservative VMEM budget."""
+    if jnp.dtype(dtype) not in (jnp.float32.dtype, jnp.bfloat16.dtype):
+        return None
+    if n % FFN_BN or kdim % 128 or m % 128 or kdim > 1024 or m > 1024:
+        return None
+    if _choose_bk(kdim) is None:
+        return None
+    k_eff = countsketch_aligned_keff(n, k)
+    if k_eff is None or k_eff > n // 2:
+        # A sketch that keeps more than half the rows saves little memory
+        # and the fused write amplification is not worth it.
+        return None
+    return k_eff
+
+
+def _matmul_input_sketch_kernel(S, C, n_k, want_colsum, x_ref, w_ref,
+                                bias_ref, sig_ref, y_ref, sk_ref, cs_ref,
+                                acc_ref, sk_acc_ref, cs_acc_ref):
+    s, c, k = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    bk = x_ref.shape[1]
+    col = pl.ds(k * bk, bk)
+
+    @pl.when(k == 0)
+    def _init_acc():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    xb = x_ref[:]
+    acc_ref[:] += jnp.dot(xb, w_ref[:], preferred_element_type=jnp.float32)
+
+    signed = xb.astype(jnp.float32) * sig_ref[:].astype(jnp.float32)
+
+    @pl.when(c == 0)
+    def _init_slab():
+        sk_acc_ref[:, col] = signed
+
+    @pl.when(c > 0)
+    def _acc_slab():
+        sk_acc_ref[:, col] += signed
+
+    if want_colsum:
+        colsum = jnp.sum(xb.astype(jnp.float32), axis=0, keepdims=True)
+
+        @pl.when((s == 0) & (c == 0))
+        def _init_cs():
+            cs_acc_ref[:, col] = colsum
+
+        @pl.when((s > 0) | (c > 0))
+        def _acc_cs():
+            cs_acc_ref[:, col] += colsum
+
+    @pl.when(k == n_k - 1)
+    def _emit_y():
+        y_ref[:] = (acc_ref[:] + bias_ref[0, :][None, :]).astype(y_ref.dtype)
+
+    @pl.when((c == C - 1) & (k == n_k - 1))
+    def _emit_sketch():
+        sk_ref[:] = sk_acc_ref[:]
+
+    if want_colsum:
+        @pl.when((s == S - 1) & (c == C - 1) & (k == n_k - 1))
+        def _emit_colsum():
+            cs_ref[:] = cs_acc_ref[:]
+
+
+def fused_matmul_input_sketch(x: jax.Array, w: jax.Array, bias,
+                              sigma: jax.Array, k_eff: int,
+                              want_colsum: bool = False):
+    """``x @ w (+ b)`` plus the stride-partition countsketch of ``x`` (and
+    optionally the column sum of ``x``) in one HBM pass over ``x``.
+
+    ``x``: (N, K); ``w``: (K, M); ``sigma``: (N,) or (N, 1) random signs.
+    Returns ``(y, sketch)`` or ``(y, sketch, colsum)``; None outside the
+    envelope (caller falls back).  ``sketch``: (k_eff, K) f32 with
+    ``sketch[b] = sum_{r = b mod k_eff} sigma[r] * x[r]`` — exactly the
+    partition the jnp sketch in ``functional/linear.py`` uses, so forward
+    and backward sketches stay contraction-consistent.
+    """
+    if x.ndim != 2 or w.ndim != 2:
+        return None
+    n, kdim = x.shape
+    _, m = w.shape
+    if matmul_sketch_keff(n, kdim, m, k_eff, x.dtype) != k_eff:
+        return None
+
+    bn = FFN_BN
+    bk = _choose_bk(kdim)
+    S = k_eff // bn
+    C = n // k_eff
+    n_k = kdim // bk
+    grid = (S, C, n_k)
+
+    out_dtype = x.dtype
+    if x.dtype == jnp.float32.dtype and not _interpret_mode():
+        # MXU precision policy matches fused_dense_act: XLA lowers f32
+        # matmuls to bf16 passes on TPU; the sketch residual then also
+        # accumulates from the bf16 operand (it feeds a randomized
+        # estimator whose sketch noise dwarfs the cast).  Interpret mode
+        # keeps f32 so jnp-parity tests compare exactly.
+        x = x.astype(jnp.bfloat16)
+        w = w.astype(jnp.bfloat16)
+
+    bias2 = (bias if bias is not None else
+             jnp.zeros((m,), jnp.float32)).reshape(1, m).astype(jnp.float32)
+    sigma2 = sigma.reshape(n, 1).astype(jnp.float32)
+
+    kernel = functools.partial(_matmul_input_sketch_kernel, S, C, n_k,
+                               want_colsum)
+    out_shapes = (
+        jax.ShapeDtypeStruct((n, m), out_dtype),
+        jax.ShapeDtypeStruct((k_eff, kdim), jnp.float32),
+        jax.ShapeDtypeStruct((1, kdim), jnp.float32),
+    )
+    y, sk, cs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bn, bk), lambda s, c, k: (c * S + s, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, m), lambda s, c, k: (k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m), lambda s, c, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, 1), lambda s, c, k: (c * S + s, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((bn, m), lambda s, c, k: (c * S + s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, kdim), lambda s, c, k: (s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kdim), lambda s, c, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((bn, m), jnp.float32),
+            pltpu.VMEM((bn, kdim), jnp.float32),
+            pltpu.VMEM((1, kdim), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * m * kdim + 2 * n * kdim,
+            bytes_accessed=n * kdim * x.dtype.itemsize
+            + kdim * m * x.dtype.itemsize * C * S
+            + n * m * jnp.dtype(out_dtype).itemsize + k_eff * kdim * 4,
+            transcendentals=0,
+        ),
+        interpret=_interpret_mode(),
+        compiler_params=_compiler_params(),
+    )(x, w, bias2, sigma2)
+    if want_colsum:
+        return y, sk, cs.reshape(kdim)
+    return y, sk

@@ -208,3 +208,99 @@ class TestVariance:
         np.testing.assert_allclose(np.asarray(g), 2.0)
         assert storage.input is not None
         np.testing.assert_allclose(np.asarray(storage.grad_output), 2.0)
+
+
+class TestFusedInputSketch:
+    """Pallas(interpret) parity for the fused matmul + input-countsketch
+    path that RandomizedDense's countsketch VJP engages on TPU
+    (functional/linear.py:_fused_cs_keff)."""
+
+    N, KDIM, M = 2048, 256, 384
+    K = 400  # -> k_eff = 512 (aligned up, never less accurate)
+
+    def _data(self):
+        rng = np.random.RandomState(5)
+        x = jnp.asarray(rng.randn(self.N, self.KDIM), jnp.float32)
+        kernel = jnp.asarray(rng.randn(self.KDIM, self.M) * 0.05,
+                             jnp.float32)
+        b = jnp.asarray(rng.randn(self.M) * 0.05, jnp.float32)
+        g = jnp.asarray(rng.randn(self.N, self.M), jnp.float32)
+        return x, kernel, b, g
+
+    def test_engages_inside_envelope(self, monkeypatch):
+        from fewbit_tpu.functional.linear import (_fused_cs_keff,
+                                                  _GRPConfig)
+
+        monkeypatch.setenv("FEWBIT_TPU_NATIVE", "interpret")
+        cfg = _GRPConfig(proj_features=self.K, matmul="countsketch",
+                         has_bias=True)
+        assert _fused_cs_keff(cfg, self.N, self.KDIM, self.M,
+                              jnp.float32.dtype) == 512
+        # Other sketch kinds and off-envelope shapes must fall back.
+        cfg_g = _GRPConfig(proj_features=self.K, matmul="gaussian",
+                           has_bias=True)
+        assert _fused_cs_keff(cfg_g, self.N, self.KDIM, self.M,
+                              jnp.float32.dtype) is None
+        assert _fused_cs_keff(cfg, self.N - 8, self.KDIM, self.M,
+                              jnp.float32.dtype) is None
+        monkeypatch.setenv("FEWBIT_TPU_NATIVE", "0")
+        assert _fused_cs_keff(cfg, self.N, self.KDIM, self.M,
+                              jnp.float32.dtype) is None
+
+    def test_vjp_matches_jnp_mirror(self, monkeypatch):
+        """Fused y/dx/db must equal the exact values; dW must equal the
+        jnp countsketch estimate built with the SAME k_eff partition and
+        signs (interpret mode keeps f32, so tolerances are tight)."""
+        from fewbit_tpu.functional.linear import _cs_signs
+
+        x, kernel, b, g = self._data()
+        key = jax.random.key(7)
+        k_eff = 512
+
+        def run():
+            y, vjp = jax.vjp(
+                lambda xx, ww, bb: F.linear_grp_native(
+                    xx, ww, bb, key, proj_dim=self.K,
+                    matmul="countsketch"), x, kernel, b)
+            return (y, *vjp(g))
+
+        monkeypatch.setenv("FEWBIT_TPU_NATIVE", "interpret")
+        y_f, dx_f, dw_f, db_f = run()
+
+        sigma = _cs_signs(key, self.N, jnp.float32)
+        sk_x = (x * sigma[:, None]).reshape(-1, k_eff, self.KDIM).sum(0)
+        sk_g = (g * sigma[:, None]).reshape(-1, k_eff, self.M).sum(0)
+        np.testing.assert_allclose(y_f, x @ kernel + b, rtol=1e-5,
+                                   atol=1e-4)
+        np.testing.assert_allclose(dx_f, g @ kernel.T, rtol=1e-5,
+                                   atol=1e-4)
+        np.testing.assert_allclose(db_f, g.sum(0), rtol=1e-5, atol=1e-3)
+        np.testing.assert_allclose(dw_f, sk_x.T @ sk_g, rtol=1e-4,
+                                   atol=1e-2)
+
+    def test_weight_grad_unbiased_fused(self, monkeypatch):
+        """The fused estimator must stay unbiased: averaging dW over many
+        keys converges to the exact gradient (same MC protocol as the
+        unfused TestLinearGRP check, tighter shapes for speed)."""
+        monkeypatch.setenv("FEWBIT_TPU_NATIVE", "interpret")
+        n, kdim, m = 1024, 128, 128
+        rng = np.random.RandomState(11)
+        x = jnp.asarray(rng.randn(n, kdim), jnp.float32)
+        kernel = jnp.asarray(rng.randn(kdim, m) * 0.1, jnp.float32)
+
+        def loss(w, key):
+            return F.linear_grp_native(x, w, None, key, proj_dim=256,
+                                       matmul="countsketch").sum()
+
+        grad_fn = jax.jit(jax.grad(loss))
+        exact = jax.grad(lambda w: (x @ w).sum())(kernel)
+        acc = jnp.zeros_like(kernel)
+        repeats = 64
+        for i in range(repeats):
+            acc = acc + grad_fn(kernel, jax.random.key(i))
+        approx = acc / repeats
+        # exact dW = x^T @ ones; correlation must be high and the residual
+        # must shrink vs a single draw.
+        corr = jnp.sum(approx * exact) / (
+            jnp.linalg.norm(approx) * jnp.linalg.norm(exact))
+        assert float(corr) > 0.99
