@@ -778,10 +778,13 @@ def unpack_block_layout(packed: jax.Array, bits: int, shape) -> jax.Array:
 # k_eff a multiple of the row block FFN_BN, the rows of block i all land in
 # slab (i mod S), S = k_eff / FFN_BN, at within-slab offset = their local
 # row — so the in-kernel sketch update is literally ``slab += signs * x``.
-# The grid is ordered (slab s OUTER, pass c middle, reduction k inner):
-# x row-blocks are enumerated slab-major (block index c*S + s), the slab's
-# (FFN_BN, kdim) accumulator lives in VMEM scratch across the whole
-# (c, k) sweep, and each sketch output block is written exactly once.
+# The WHOLE weight stays resident in VMEM (its block index never changes,
+# so Mosaic fetches it once) and x rides through in full-width row blocks:
+# zero operand re-streaming, which is what makes the fusion strictly
+# cheaper than matmul + separate sketch pass.  The grid is (slab s OUTER,
+# pass c inner); x row-blocks are enumerated slab-major (block index
+# c*S + s), the slab's (FFN_BN, kdim) accumulator lives in VMEM scratch
+# across the c sweep, and each sketch output block is written exactly once.
 # ---------------------------------------------------------------------------
 
 
@@ -789,67 +792,69 @@ def matmul_sketch_keff(n: int, kdim: int, m: int, k: int,
                        dtype) -> Optional[int]:
     """Envelope check for :func:`fused_matmul_input_sketch`; returns the
     aligned bucket count, or None when the caller must fall back to the
-    unfused jnp path.  ``m``/``kdim`` caps keep the full-width accumulator
-    blocks inside a conservative VMEM budget."""
+    unfused jnp path.  The kernel keeps the whole weight and full-width
+    row blocks resident, so the envelope is a VMEM-budget estimate on top
+    of the alignment requirements."""
     if jnp.dtype(dtype) not in (jnp.float32.dtype, jnp.bfloat16.dtype):
         return None
+    # Width caps: measured on v5e, the fusion wins at attention-projection
+    # widths (half the HBM passes beats the Mosaic-vs-XLA matmul gap) but
+    # LOSES at FFN widths (>= 3072), where XLA's matmul is enough faster
+    # that the saved sketch pass does not pay for it — tools/roofline.py
+    # `measure_input_sketch` reproduces both sides.
     if n % FFN_BN or kdim % 128 or m % 128 or kdim > 1024 or m > 1024:
-        return None
-    if _choose_bk(kdim) is None:
         return None
     k_eff = countsketch_aligned_keff(n, k)
     if k_eff is None or k_eff > n // 2:
         # A sketch that keeps more than half the rows saves little memory
         # and the fused write amplification is not worth it.
         return None
+    est = (2 * FFN_BN * kdim * 2      # x block (bf16), double-buffered
+           + kdim * m * 2             # whole w (bf16), resident
+           + 2 * FFN_BN * m * 4       # y block out, double-buffered
+           + FFN_BN * kdim * 4        # sketch accumulator (scratch)
+           + FFN_BN * kdim * 4)       # sketch out block
+    if est > 56 * 1024 * 1024:
+        return None
     return k_eff
 
 
-def _matmul_input_sketch_kernel(S, C, n_k, want_colsum, x_ref, w_ref,
+def _matmul_input_sketch_kernel(S, C, want_colsum, x_ref, w_ref,
                                 bias_ref, sig_ref, y_ref, sk_ref, cs_ref,
-                                acc_ref, sk_acc_ref, cs_acc_ref):
-    s, c, k = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-    bk = x_ref.shape[1]
-    col = pl.ds(k * bk, bk)
-
-    @pl.when(k == 0)
-    def _init_acc():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+                                sk_acc_ref, cs_acc_ref):
+    s, c = pl.program_id(0), pl.program_id(1)
 
     xb = x_ref[:]
-    acc_ref[:] += jnp.dot(xb, w_ref[:], preferred_element_type=jnp.float32)
+    y_ref[:] = (jnp.dot(xb, w_ref[:], preferred_element_type=jnp.float32)
+                + bias_ref[0, :][None, :]).astype(y_ref.dtype)
 
     signed = xb.astype(jnp.float32) * sig_ref[:].astype(jnp.float32)
 
     @pl.when(c == 0)
     def _init_slab():
-        sk_acc_ref[:, col] = signed
+        sk_acc_ref[:] = signed
 
     @pl.when(c > 0)
     def _acc_slab():
-        sk_acc_ref[:, col] += signed
+        sk_acc_ref[:] += signed
 
     if want_colsum:
         colsum = jnp.sum(xb.astype(jnp.float32), axis=0, keepdims=True)
 
         @pl.when((s == 0) & (c == 0))
         def _init_cs():
-            cs_acc_ref[:, col] = colsum
+            cs_acc_ref[:] = colsum
 
         @pl.when((s > 0) | (c > 0))
         def _acc_cs():
-            cs_acc_ref[:, col] += colsum
+            cs_acc_ref[:] += colsum
 
-    @pl.when(k == n_k - 1)
-    def _emit_y():
-        y_ref[:] = (acc_ref[:] + bias_ref[0, :][None, :]).astype(y_ref.dtype)
-
-    @pl.when((c == C - 1) & (k == n_k - 1))
+    @pl.when(c == C - 1)
     def _emit_sketch():
         sk_ref[:] = sk_acc_ref[:]
 
     if want_colsum:
-        @pl.when((s == S - 1) & (c == C - 1) & (k == n_k - 1))
+        @pl.when((s == S - 1) & (c == C - 1))
         def _emit_colsum():
             cs_ref[:] = cs_acc_ref[:]
 
@@ -875,11 +880,9 @@ def fused_matmul_input_sketch(x: jax.Array, w: jax.Array, bias,
         return None
 
     bn = FFN_BN
-    bk = _choose_bk(kdim)
     S = k_eff // bn
     C = n // k_eff
-    n_k = kdim // bk
-    grid = (S, C, n_k)
+    grid = (S, C)
 
     out_dtype = x.dtype
     if x.dtype == jnp.float32.dtype and not _interpret_mode():
@@ -895,7 +898,7 @@ def fused_matmul_input_sketch(x: jax.Array, w: jax.Array, bias,
              jnp.zeros((m,), jnp.float32)).reshape(1, m).astype(jnp.float32)
     sigma2 = sigma.reshape(n, 1).astype(jnp.float32)
 
-    kernel = functools.partial(_matmul_input_sketch_kernel, S, C, n_k,
+    kernel = functools.partial(_matmul_input_sketch_kernel, S, C,
                                want_colsum)
     out_shapes = (
         jax.ShapeDtypeStruct((n, m), out_dtype),
@@ -906,33 +909,32 @@ def fused_matmul_input_sketch(x: jax.Array, w: jax.Array, bias,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bn, bk), lambda s, c, k: (c * S + s, k),
+            pl.BlockSpec((bn, kdim), lambda s, c: (c * S + s, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk, m), lambda s, c, k: (k, 0),
+            pl.BlockSpec((kdim, m), lambda s, c: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m), lambda s, c, k: (0, 0),
+            pl.BlockSpec((1, m), lambda s, c: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn, 1), lambda s, c, k: (c * S + s, 0),
+            pl.BlockSpec((bn, 1), lambda s, c: (c * S + s, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((bn, m), lambda s, c, k: (c * S + s, 0),
+            pl.BlockSpec((bn, m), lambda s, c: (c * S + s, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn, kdim), lambda s, c, k: (s, 0),
+            pl.BlockSpec((bn, kdim), lambda s, c: (s, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kdim), lambda s, c, k: (0, 0),
+            pl.BlockSpec((1, kdim), lambda s, c: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((bn, m), jnp.float32),
             pltpu.VMEM((bn, kdim), jnp.float32),
             pltpu.VMEM((1, kdim), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * n * m * kdim + 2 * n * kdim,
             bytes_accessed=n * kdim * x.dtype.itemsize
-            + kdim * m * x.dtype.itemsize * C * S
+            + kdim * m * x.dtype.itemsize
             + n * m * jnp.dtype(out_dtype).itemsize + k_eff * kdim * 4,
             transcendentals=0,
         ),

@@ -304,3 +304,32 @@ class TestFusedInputSketch:
         corr = jnp.sum(approx * exact) / (
             jnp.linalg.norm(approx) * jnp.linalg.norm(exact))
         assert float(corr) > 0.99
+
+    def test_ffn_width_falls_back(self, monkeypatch):
+        """FFN-width shapes (> 1024) must NOT engage the fused kernel —
+        measured slower there than XLA's matmul + separate sketch (see
+        matmul_sketch_keff width caps) — but the raw kernel itself must
+        still be numerically correct if called directly."""
+        from fewbit_tpu.functional.linear import _fused_cs_keff, _GRPConfig
+        from fewbit_tpu.ops import pallas_kernels as pk
+
+        monkeypatch.setenv("FEWBIT_TPU_NATIVE", "interpret")
+        cfg = _GRPConfig(proj_features=200, matmul="countsketch",
+                         has_bias=True)
+        assert _fused_cs_keff(cfg, 1024, 128, 1536,
+                              jnp.float32.dtype) is None
+        # Direct kernel call with an in-envelope k_eff stays exact.
+        n, kdim, m, k_eff = 1024, 128, 512, 512
+        rng = np.random.RandomState(9)
+        x = jnp.asarray(rng.randn(n, kdim), jnp.float32)
+        w = jnp.asarray(rng.randn(kdim, m) * 0.05, jnp.float32)
+        sigma = jnp.asarray(rng.choice([-1.0, 1.0], n), jnp.float32)
+        out = pk.fused_matmul_input_sketch(x, w, None, sigma, k_eff,
+                                           want_colsum=True)
+        assert out is not None
+        y, sk, cs = out
+        np.testing.assert_allclose(y, x @ w, rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(
+            sk, (x * sigma[:, None]).reshape(-1, k_eff, kdim).sum(0),
+            rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(cs, x.sum(0), rtol=1e-4, atol=5e-3)
