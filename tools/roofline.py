@@ -175,6 +175,46 @@ def measure_matmul(spec, borders, levels, bits):
     ]
 
 
+def measure_input_sketch():
+    """fused_matmul_input_sketch (the attention sketched-linear kernel) vs
+    the unfused XLA pair (matmul + separate signed bucket-sum sketch) at
+    the attention-projection shape."""
+    from fewbit_tpu.ops import pallas_kernels as pk
+
+    n, kdim, m = N, K, 768
+    k = int(0.2 * n)
+    k_eff = pk.matmul_sketch_keff(n, kdim, m, k, jnp.float32.dtype)
+    x = jax.random.normal(jax.random.key(5), (n, kdim), jnp.float32)
+    w = jax.random.normal(jax.random.key(6), (kdim, m), jnp.float32) * 0.02
+    sigma = (jax.random.bernoulli(jax.random.key(7), 0.5, (n,))
+             .astype(jnp.float32) * 2.0 - 1.0)
+    flops = 2.0 * n * kdim * m
+
+    def fused_body(i, c):
+        y, sk, cs = pk.fused_matmul_input_sketch(c, w, None, sigma, k_eff,
+                                                 want_colsum=True)
+        return touch(c, y + 1e-9 * sk[:1, :1] + 1e-9 * cs[:1])
+
+    t_f = timed_loop(fused_body, x)
+
+    def unfused_body(i, c):
+        y = c @ w
+        sk = (c * sigma[:, None]).reshape(n // k_eff, k_eff, kdim).sum(0)
+        cs = c.sum(0)
+        return touch(c, y + 1e-9 * sk[:1, :1] + 1e-9 * cs[:1])
+
+    t_u = timed_loop(unfused_body, x)
+    # fused: one pass over x (bf16 after cast) + w re-streamed per row pass
+    by_f = (2 * n * kdim + 2 * kdim * m * (n // pk.FFN_BN)
+            + 4 * n * m + 4 * k_eff * kdim)
+    # unfused: x read twice more (sketch + colsum fuse into one pass)
+    by_u = 4 * n * kdim * 2 + 4 * kdim * m + 4 * n * m + 4 * k_eff * kdim
+    return [
+        ("fused_matmul_input_sketch (attn linear)", t_f, by_f, flops),
+        ("XLA matmul+sketch+colsum (unfused)", t_u, by_u, flops),
+    ]
+
+
 def measure_xla_baselines():
     """What plain XLA achieves on this chip at the same shapes — the
     *attainable* roofline the fused kernels are judged against (theoretical
@@ -313,6 +353,8 @@ def main():
         jax.local_devices()[0].device_kind)
     log("measuring XLA baselines...")
     rows = measure_xla_baselines()
+    log("measuring input-sketch kernel...")
+    rows += measure_input_sketch()
     for bits in args.bits:
         spec, borders, levels = resolve_activation("gelu", bits=bits)
         log(f"measuring {bits}-bit kernels...")
