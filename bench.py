@@ -10,12 +10,17 @@ Memory: XLA's compiled ``memory_analysis().temp_size_in_bytes`` — the
 device scratch of one step, i.e. activations/residuals between forward and
 backward plus temporaries, the same "training memory minus params" delta the
 reference measures via ``max_memory_allocated - memory_allocated``
-(``benchmark/benchmark.py:165-188``).
+(``benchmark/benchmark.py:165-188``).  Reported for f32 at bs=64 (the
+headline) and bf16 at bs=64 AND bs=128 — the reference's own batch size,
+which fits the 16 GiB chip in bf16.
 
-Step time: the train step is wrapped in a jitted ``lax.fori_loop`` of
-LOOP_ITERS steps, so ONE dispatch (one host<->device round trip) measures the
-whole batch of steps — host dispatch/relay latency, which can stall for tens
-of seconds on this environment, is amortised to 1/LOOP_ITERS per step.
+Step time: INTERLEAVED A/B protocol.  Each variant's train step is wrapped
+in a jitted ``lax.fori_loop`` of LOOP_ITERS steps (one dispatch per block,
+so host/relay latency amortises to 1/LOOP_ITERS per step), and the vanilla/
+fewbit blocks alternate A/B/A/B within one session — the chip's session-to-
+session drift (~±10%, docs/BENCHMARKS.md) cancels out of the per-pair
+deltas.  Reported: median per-step time of each side, plus the median and
+min..max spread of the per-pair overhead.
 
 Prints exactly ONE JSON line on stdout:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
@@ -63,16 +68,17 @@ def log(*a):
 # is bs=128 with HF dynamic padding over short MRPC pairs (~tens of tokens);
 # seq=128 covers nearly all pairs.  The batch ladder guards against the
 # vanilla variant OOM-ing the 16 GiB chip (it needs ~3x the scratch of the
-# few-bit variant).
+# few-bit variant in f32; in bf16 both fit at the reference's bs=128).
 BATCH_LADDER = (64, 32, 16)
 SEQ = 128
 REF_SAVING_PCT = 32.7
 
 
 LOOP_ITERS = 20
+AB_PAIRS = 4
 
 
-def build(gelu_bits, proj_dim_ratio, batch_size):
+def build(gelu_bits, proj_dim_ratio, batch_size, dtype=jnp.float32):
     from fewbit_tpu.models import (RobertaConfig,
                                    RobertaForSequenceClassification)
     from fewbit_tpu.train import TrainConfig, create_train_state, \
@@ -80,7 +86,7 @@ def build(gelu_bits, proj_dim_ratio, batch_size):
     from fewbit_tpu.train import synthetic_glue
 
     cfg = RobertaConfig(gelu_bits=gelu_bits, proj_dim_ratio=proj_dim_ratio,
-                        sketch="countsketch", dtype=jnp.float32)
+                        sketch="countsketch", dtype=dtype)
     model = RobertaForSequenceClassification(cfg)
     batch_np = next(synthetic_glue(batch_size, seq_len=SEQ,
                                    vocab_size=cfg.vocab_size))
@@ -119,75 +125,134 @@ def build_loop(step, state, batch):
         compiler_options=tpu_compile_options())
 
 
-def measure_time(looped, state, batch, rounds=3, budget_s=150.0):
-    """Per-step time from single-dispatch fori_loop rounds (best of N)."""
+def measure_interleaved(loop_v, loop_f, sv, sf, batch, pairs=AB_PAIRS,
+                        budget_s=280.0):
+    """Alternate vanilla/fewbit fori_loop blocks A/B/A/B in one session.
+
+    Returns (t_v list, t_f list) of per-step seconds, one entry per pair
+    (each entry = one whole LOOP_ITERS block / LOOP_ITERS).
+    """
     key = jax.random.key(1)
-    out_state, loss = looped(state, batch, key)
-    _ = float(loss)  # warm-up: one full dispatch + sync
-    best = float("inf")
+    sv, lv = loop_v(sv, batch, key)
+    _ = float(lv)  # warm-up dispatch + real sync (readback)
+    sf, lf = loop_f(sf, batch, key)
+    _ = float(lf)
+    t_v, t_f = [], []
     start = time.perf_counter()
-    for r in range(rounds):
+    for r in range(pairs):
         t0 = time.perf_counter()
-        out_state, loss = looped(out_state, batch, key)
-        _ = float(loss)
-        best = min(best, (time.perf_counter() - t0) / LOOP_ITERS)
+        sv, lv = loop_v(sv, batch, key)
+        _ = float(lv)
+        t_v.append((time.perf_counter() - t0) / LOOP_ITERS)
+        t0 = time.perf_counter()
+        sf, lf = loop_f(sf, batch, key)
+        _ = float(lf)
+        t_f.append((time.perf_counter() - t0) / LOOP_ITERS)
         if time.perf_counter() - start > budget_s:
-            log(f"timing budget reached after round {r + 1}")
+            log(f"A/B budget reached after pair {r + 1}")
             break
-    return best
+    return t_v, t_f
+
+
+def ab_stats(t_v, t_f):
+    """Median per-step times and the per-pair overhead distribution."""
+    deltas = [100.0 * (f / v - 1.0) for v, f in zip(t_v, t_f)]
+    return {
+        "vanilla_step_ms": round(float(np.median(t_v)) * 1e3, 2),
+        "fewbit_step_ms": round(float(np.median(t_f)) * 1e3, 2),
+        "overhead_pct_median": round(float(np.median(deltas)), 2),
+        "overhead_pct_min": round(min(deltas), 2),
+        "overhead_pct_max": round(max(deltas), 2),
+        "pairs": len(deltas),
+    }
+
+
+def timed_pair(tag, batch, dtype, time_budget_s=600):
+    """Build both variants at (batch, dtype); memory always, timing if the
+    budget allows.  Returns a result dict (timing keys absent on stall)."""
+    log(f"[{tag}] compiling vanilla step (bs={batch})...")
+    sv, bv, step_v, comp_v = build(None, None, batch, dtype)
+    mem_v = measure_mem(comp_v)
+    log(f"[{tag}] vanilla temp: {mem_v / 2**30:.3f} GiB")
+    log(f"[{tag}] compiling fewbit step (gelu3 + grp 0.2)...")
+    sf, bf, step_f, comp_f = build(3, 0.2, batch, dtype)
+    mem_f = measure_mem(comp_f)
+    log(f"[{tag}] fewbit temp: {mem_f / 2**30:.3f} GiB")
+    saving = 100.0 * (1.0 - mem_f / mem_v)
+    log(f"[{tag}] memory saving: {saving:.1f}%")
+    del comp_v, comp_f
+    result = {"batch": batch, "seq": SEQ,
+              "dtype": jnp.dtype(dtype).name,
+              "vanilla_temp_bytes": mem_v, "fewbit_temp_bytes": mem_f,
+              "mem_saving_pct": round(saving, 2)}
+
+    log(f"[{tag}] compiling {LOOP_ITERS}-step timing loops...")
+    loop_v = _with_deadline(300, build_loop, step_v, sv, bv)
+    loop_f = (_with_deadline(300, build_loop, step_f, sf, bf)
+              if loop_v is not None else None)
+    if loop_f is not None:
+        out = _with_deadline(320, measure_interleaved, loop_v, loop_f,
+                             sv, sf, bv)
+        if out is not None and out[0] and out[1]:
+            stats = ab_stats(*out)
+            result.update(stats)
+            log(f"[{tag}] step time: vanilla {stats['vanilla_step_ms']} ms, "
+                f"fewbit {stats['fewbit_step_ms']} ms (median "
+                f"{stats['overhead_pct_median']:+.1f}%, "
+                f"range {stats['overhead_pct_min']:+.1f}"
+                f"..{stats['overhead_pct_max']:+.1f}% over "
+                f"{stats['pairs']} pairs)")
+            return result
+    log(f"[{tag}] step timing unavailable (relay stalled)")
+    return result
 
 
 def main():
     log("backend:", jax.default_backend())
 
+    # Headline: f32 at the largest batch the chip fits in f32.
+    headline = None
     for batch in BATCH_LADDER:
         try:
-            log(f"compiling vanilla step (bs={batch}, seq={SEQ})...")
-            sv, bv, step_v, comp_v = build(None, None, batch)
+            headline = timed_pair("f32", batch, jnp.float32)
             break
         except Exception as exc:  # noqa: BLE001 — OOM at this batch size
             log(f"bs={batch} failed ({type(exc).__name__}); trying smaller")
-    mem_v = measure_mem(comp_v)
-    log(f"vanilla temp: {mem_v / 2**30:.3f} GiB")
+    saving_pct = headline["mem_saving_pct"]
 
-    log("compiling fewbit step (gelu3 + grp 0.2)...")
-    sf, bf, step_f, comp_f = build(3, 0.2, batch)
-    mem_f = measure_mem(comp_f)
-    log(f"fewbit temp: {mem_f / 2**30:.3f} GiB")
-
-    saving_pct = 100.0 * (1.0 - mem_f / mem_v)
-    log(f"memory saving: {saving_pct:.1f}% (reference headline: 32.7%)")
-
-    del comp_v, comp_f  # free the single-step executables before the loops
-    log(f"compiling {LOOP_ITERS}-step on-device timing loops...")
-    loop_v = _with_deadline(300, build_loop, step_v, sv, bv)
-    loop_f = _with_deadline(300, build_loop, step_f, sf, bf)
-    t_v = (_with_deadline(240, measure_time, loop_v, sv, bv)
-           if loop_v is not None else None)
-    t_f = (_with_deadline(240, measure_time, loop_f, sf, bf)
-           if loop_f is not None else None)
-    if t_v and t_f:
-        overhead_pct = 100.0 * (t_f / t_v - 1.0)
-        log(f"step time: vanilla {t_v*1e3:.1f} ms, fewbit {t_f*1e3:.1f} ms "
-            f"({overhead_pct:+.1f}%)")
-    else:
-        overhead_pct = None
-        log("step timing unavailable (relay stalled); memory metric stands")
+    # bf16 rows: where the epilogue overhead is relatively largest, incl.
+    # the reference's own bs=128 (fits the 16 GiB chip in bf16).
+    extras = []
+    for batch, with_time in ((headline["batch"], False), (128, True)):
+        try:
+            if with_time:
+                extras.append(timed_pair("bf16", batch, jnp.bfloat16))
+            else:
+                def mem_only(b):
+                    _, _, _, cv = build(None, None, b, jnp.bfloat16)
+                    mv = measure_mem(cv)
+                    del cv
+                    _, _, _, cf = build(3, 0.2, b, jnp.bfloat16)
+                    mf = measure_mem(cf)
+                    del cf
+                    return {"batch": b, "seq": SEQ, "dtype": "bfloat16",
+                            "vanilla_temp_bytes": mv,
+                            "fewbit_temp_bytes": mf,
+                            "mem_saving_pct":
+                                round(100.0 * (1.0 - mf / mv), 2)}
+                row = _with_deadline(360, mem_only, batch)
+                if row:
+                    log(f"[bf16 bs={batch}] saving {row['mem_saving_pct']}%")
+                    extras.append(row)
+        except Exception as exc:  # noqa: BLE001
+            log(f"bf16 bs={batch} failed: {type(exc).__name__}: {exc}")
 
     print(json.dumps({
         "metric": "roberta_base_train_step_mem_saving",
-        "value": round(saving_pct, 2),
+        "value": saving_pct,
         "unit": "percent",
         "vs_baseline": round(saving_pct / REF_SAVING_PCT, 3),
-        "detail": {
-            "batch": batch, "seq": SEQ,
-            "vanilla_temp_bytes": mem_v,
-            "fewbit_temp_bytes": mem_f,
-            "vanilla_step_ms": round(t_v * 1e3, 2) if t_v else None,
-            "fewbit_step_ms": round(t_f * 1e3, 2) if t_f else None,
-            "step_time_overhead_pct": (round(overhead_pct, 2)
-                                       if overhead_pct is not None else None),
-        },
+        "detail": {"headline_f32": headline, "bf16": extras},
     }))
 
 

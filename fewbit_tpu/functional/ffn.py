@@ -50,6 +50,7 @@ import jax.numpy as jnp
 
 from fewbit_tpu.functional.activations import resolve_activation
 from fewbit_tpu.functional.linear import (_countsketch_partition,
+                                          _countsketch_signed,
                                           _int_zero_cot, calc_proj_dim)
 from fewbit_tpu.ops.activations import _use_pallas, apply_lut
 from fewbit_tpu.ops.bitpack import pack_codes, unpack_codes
@@ -79,21 +80,6 @@ def _keff(n: int, k: int) -> int:
         return aligned
     part = _countsketch_partition(n, k)
     return part[1] if part is not None else min(k, n)
-
-
-def _countsketch_signed(mat: jax.Array, sigma: jax.Array,
-                        k_eff: int) -> jax.Array:
-    """Signed bucket sum with bucket = row % k_eff (the kernels' layout)."""
-    n, d = mat.shape
-    signed = mat.astype(jnp.float32) * sigma[:, None]
-    if k_eff >= n:
-        return signed
-    block = n // k_eff
-    main = signed[:block * k_eff].reshape(block, k_eff, d).sum(axis=0)
-    rem = n - block * k_eff
-    if rem:
-        main = main.at[:rem].add(signed[block * k_eff:])
-    return main
 
 
 def _dot_f32(a: jax.Array, b: jax.Array) -> jax.Array:
@@ -150,7 +136,7 @@ def _ffn_fwd(cfg, x, w_up, b_up, w_down, b_down, key, borders, levels):
     sig_down = _signs(key_down, n)
     k_eff = _keff(n, cfg.k_proj)
 
-    triple = None
+    outs = None
     if _pallas_ok(cfg, n, kdim, m, h, x.dtype):
         from fewbit_tpu.ops import pallas_kernels as pk
 
@@ -158,9 +144,13 @@ def _ffn_fwd(cfg, x, w_up, b_up, w_down, b_down, key, borders, levels):
         # jnp-parity tests compare like against like; mirror that here.
         y_dtype = (jnp.bfloat16 if x.dtype == jnp.float32.dtype
                    and not pk._interpret_mode() else x.dtype)
-        triple = pk.fused_dense_act_sketch(spec, x2, w_up, b_up, borders,
-                                           sig_down, k_eff, y_dtype=y_dtype)
-    if triple is None:
+        # sigma_x: the x-sketch (the up projection's weight-gradient
+        # residual) rides the kernel's own read of x — no separate HBM
+        # pass over the input.
+        outs = pk.fused_dense_act_sketch(spec, x2, w_up, b_up, borders,
+                                         sig_down, k_eff, y_dtype=y_dtype,
+                                         sigma_x=sig_up)
+    if outs is None:
         z = _dot_f32(x2, w_up)
         if b_up is not None:
             z = z + b_up
@@ -168,13 +158,13 @@ def _ffn_fwd(cfg, x, w_up, b_up, w_down, b_down, key, borders, levels):
         packed = pack_codes(codes.reshape(-1), spec.bits)
         y2 = spec.fwd(z, spec.args).astype(x.dtype)
         sk_y = _countsketch_signed(y2, sig_down, k_eff)
+        sk_x = _countsketch_signed(x2, sig_up, k_eff)
     else:
-        y2, packed, sk_y = triple
+        y2, packed, sk_y, sk_x = outs
 
     out = _dot_f32(y2, w_down.astype(y2.dtype))
     if b_down is not None:
         out = out + b_down
-    sk_x = _countsketch_signed(x2, sig_up, k_eff)
     out = out.reshape(*x.shape[:-1], h).astype(x.dtype)
     return out, (packed, sk_x, sk_y, w_up, w_down, key, levels)
 

@@ -123,6 +123,23 @@ def _countsketch_partition(n: int, k: int):
     return None
 
 
+def _countsketch_signed(mat: jax.Array, sigma: jax.Array,
+                        k_eff: int) -> jax.Array:
+    """Signed bucket sum with bucket = row % k_eff — the stride partition
+    shared by every countsketch variant (jnp and Pallas), so sketches from
+    any path contract bucket-for-bucket against each other."""
+    n, d = mat.shape
+    signed = mat.astype(jnp.float32) * sigma[:, None]
+    if k_eff >= n:
+        return signed
+    block = n // k_eff
+    main = signed[:block * k_eff].reshape(block, k_eff, d).sum(axis=0)
+    rem = n - block * k_eff
+    if rem:
+        main = main.at[:rem].add(signed[block * k_eff:])
+    return main
+
+
 def _dense_proj_chunks(n: int, k: int) -> int:
     """Row-chunk size for dense projections: the transient (k, chunk)
     projection block is generated on the fly and freed chunk by chunk, so
@@ -309,14 +326,22 @@ def _linear_grp_core_fwd(cfg, x, kernel, bias, key):
 def _linear_grp_core_bwd(cfg, residual, g):
     sketch, kernel, key = residual
     g2 = g.reshape(-1, g.shape[-1])
-    k_eff = _fused_cs_keff(cfg, g2.shape[0], kernel.shape[0],
-                           kernel.shape[1], g.dtype)
-    if k_eff is not None:
-        from fewbit_tpu.ops.pallas_kernels import fused_matmul_input_sketch
-
+    if cfg.matmul == "countsketch":
+        # The backward contracts AGAINST the forward's sketch, so its bucket
+        # partition is whatever the forward stored — read k_eff off the
+        # residual's static shape instead of re-deriving the fused/unfused
+        # decision (which keys on dtype and an env read and could in
+        # principle diverge between the two traces).
+        k_eff = sketch.shape[0]
         sigma = _cs_signs(key, g2.shape[0], jnp.float32)
-        out = fused_matmul_input_sketch(g2, kernel.T, None, sigma, k_eff,
-                                        want_colsum=cfg.has_bias)
+        out = None
+        if _fused_cs_keff(cfg, g2.shape[0], kernel.shape[0],
+                          kernel.shape[1], g.dtype) == k_eff:
+            from fewbit_tpu.ops.pallas_kernels import \
+                fused_matmul_input_sketch
+
+            out = fused_matmul_input_sketch(g2, kernel.T, None, sigma, k_eff,
+                                            want_colsum=cfg.has_bias)
         if out is not None:
             if cfg.has_bias:
                 grad_x2, g_proj, grad_b = out
@@ -328,6 +353,11 @@ def _linear_grp_core_bwd(cfg, residual, g):
             return (grad_x.astype(g.dtype), grad_k,
                     grad_b.astype(g.dtype) if grad_b is not None else None,
                     _int_zero_cot(key))
+        grad_x = (g2 @ kernel.T).reshape(*g.shape[:-1], kernel.shape[0])
+        g_proj = _countsketch_signed(g2, sigma, k_eff)
+        grad_k = (sketch.T @ g_proj).astype(kernel.dtype)
+        grad_b = g2.sum(axis=0) if cfg.has_bias else None
+        return grad_x.astype(g.dtype), grad_k, grad_b, _int_zero_cot(key)
     grad_x = (g2 @ kernel.T).reshape(*g.shape[:-1], kernel.shape[0])
     g_proj = _sketch(cfg, key, g2, normalise=False)
     grad_k = sketch.T @ g_proj

@@ -11,6 +11,7 @@ gradients) but it warns loudly.
 
 from __future__ import annotations
 
+import os
 import warnings
 
 import jax
@@ -23,16 +24,22 @@ _WARNING = (
     "random sketch signs, so the weight-gradient noise is perfectly "
     "correlated across steps and will not average out.  Pass "
     "rngs={{'sketch': key}} (fresh per step) when training; this fallback "
-    "is only safe for inference.")
+    "is only safe for inference.  Set FEWBIT_TPU_STRICT_SKETCH=1 to make "
+    "this an error.")
 
 
 def sketch_key(module) -> jax.Array:
     """Resolve the sketch PRNG key for a linen module: the ``'sketch'``
     collection when provided, the ``'params'`` key under ``init`` (gradients
-    are never taken during init), else a constant key with a warning."""
+    are never taken during init), else a constant key with a warning — or,
+    under ``FEWBIT_TPU_STRICT_SKETCH=1``, an error (training code should
+    never rely on the constant-key fallback)."""
     if module.has_rng("sketch"):
         return module.make_rng("sketch")
     if module.has_rng("params"):
         return module.make_rng("params")
-    warnings.warn(_WARNING.format(cls=type(module).__name__), stacklevel=3)
+    msg = _WARNING.format(cls=type(module).__name__)
+    if os.environ.get("FEWBIT_TPU_STRICT_SKETCH") == "1":
+        raise RuntimeError(msg)
+    warnings.warn(msg, stacklevel=3)
     return jax.random.key(0)

@@ -460,17 +460,16 @@ FFN_BM = 512  # column block (kept small: the sketch block is k_eff x FFN_BM)
 def countsketch_aligned_keff(n: int, k: int) -> Optional[int]:
     """Bucket count for the kernel-fused countsketch: the smallest multiple
     of FFN_BN that divides ``n`` and is >= ``k`` (never less accurate than
-    requested), within a 2x bucket budget — EXCEPT for small ``k``: the
-    kernel's slab geometry floors the bucket count at FFN_BN, so for
-    ``k < FFN_BN/2`` the one candidate tried is FFN_BN itself even though it
-    exceeds 2x the request (more buckets = strictly lower sketch variance,
-    at FFN_BN x bm extra VMEM).  None -> caller falls back to the jnp
-    sketch."""
+    requested), within a 2x bucket budget.  The kernel's slab geometry
+    floors the bucket count at FFN_BN, so requests smaller than FFN_BN/2
+    cannot be honoured within the budget — they return None and the caller
+    falls back to the jnp sketch, which respects the requested size instead
+    of silently storing an inflated residual."""
     if n % FFN_BN:
         return None
     k_eff = max(FFN_BN, _cdiv(k, FFN_BN) * FFN_BN)
-    while k_eff <= 2 * k or k_eff == FFN_BN:
-        if n % k_eff == 0 and k_eff >= k:
+    while k_eff <= 2 * k:
+        if n % k_eff == 0:
             return k_eff if k_eff <= n else None
         k_eff += FFN_BN
     return None
@@ -491,17 +490,41 @@ def _ffn_sketch_epilogue(i, slabs, block, sig_ref, sk_ref):
         sk_ref[pl.ds(slab * FFN_BN, FFN_BN), :] += signed
 
 
-def _dense_act_sketch_kernel(spec, bm, n_k, slabs, borders_ref, x_ref, w_ref,
-                             bias_ref, sig_ref, y_ref, packed_ref, sk_ref,
-                             acc_ref):
-    i, k_idx = pl.program_id(1), pl.program_id(2)
+def _dense_act_sketch_kernel(spec, bm, bk, n_k, slabs, borders_ref, x_ref,
+                             w_ref, bias_ref, sig_ref, sigx_ref, y_ref,
+                             packed_ref, sk_ref, skx_ref, acc_ref):
+    j, i, k_idx = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
     @pl.when(k_idx == 0)
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    acc_ref[:] += jnp.dot(x_ref[:], w_ref[:],
+    xb = x_ref[:]
+    acc_ref[:] += jnp.dot(xb, w_ref[:],
                           preferred_element_type=jnp.float32)
+
+    if skx_ref is not None:
+        # Input countsketch rides the matmul's own read of x: rows of block
+        # i land in slab (i mod S) at their local offsets (bucket = global
+        # row mod k_eff), columns follow the reduction block.  x is
+        # re-streamed once per output-column block j, so accumulate only on
+        # the first pass; the (k_eff, kdim) output block has a constant
+        # index map, stays VMEM-resident for the whole grid and flushes
+        # once at the end.
+        @pl.when(j == 0)
+        def _sketch_x():
+            signed = xb.astype(jnp.float32) * sigx_ref[:].astype(jnp.float32)
+            slab = jax.lax.rem(i, jnp.asarray(slabs, i.dtype))
+
+            @pl.when(i < slabs)
+            def _init_x():
+                skx_ref[pl.ds(slab * FFN_BN, FFN_BN),
+                        pl.ds(k_idx * bk, bk)] = signed
+
+            @pl.when(i >= slabs)
+            def _acc_x():
+                skx_ref[pl.ds(slab * FFN_BN, FFN_BN),
+                        pl.ds(k_idx * bk, bk)] += signed
 
     @pl.when(k_idx == n_k - 1)
     def _epilogue():
@@ -520,13 +543,34 @@ def _dense_act_sketch_kernel(spec, bm, n_k, slabs, borders_ref, x_ref, w_ref,
         _ffn_sketch_epilogue(i, slabs, y.astype(jnp.float32), sig_ref, sk_ref)
 
 
+def _kernel_no_skx(spec, bm, bk, n_k, slabs, borders_ref, x_ref, w_ref,
+                   bias_ref, sig_ref, y_ref, packed_ref, sk_ref, acc_ref):
+    _dense_act_sketch_kernel(spec, bm, bk, n_k, slabs, borders_ref, x_ref,
+                             w_ref, bias_ref, sig_ref, None, y_ref,
+                             packed_ref, sk_ref, None, acc_ref)
+
+
+def _kernel_skx(spec, bm, bk, n_k, slabs, borders_ref, x_ref, w_ref,
+                bias_ref, sig_ref, sigx_ref, y_ref, packed_ref, sk_ref,
+                skx_ref, acc_ref):
+    _dense_act_sketch_kernel(spec, bm, bk, n_k, slabs, borders_ref, x_ref,
+                             w_ref, bias_ref, sig_ref, sigx_ref, y_ref,
+                             packed_ref, sk_ref, skx_ref, acc_ref)
+
+
 def fused_dense_act_sketch(spec, x: jax.Array, w: jax.Array, bias,
                            borders, sigma: jax.Array, k_eff: int,
-                           y_dtype=None):
+                           y_dtype=None, sigma_x=None):
     """``act(x @ w + b)`` emitting packed codes AND the countsketch of the
     activation in the same pass.  Returns ``(y, packed, sketch)`` or None
     outside the envelope.  ``sigma``: (n, 1) random-sign array (the SAME
-    signs the backward's jnp-side sketch of the output gradient uses)."""
+    signs the backward's jnp-side sketch of the output gradient uses).
+
+    With ``sigma_x`` (a second (n,) sign vector), ALSO emits the
+    countsketch of the input x — the up projection's own weight-gradient
+    residual — riding the kernel's existing read of x, so the FFN forward
+    stops paying a separate HBM pass to sketch x; returns
+    ``(y, packed, sketch_y, sketch_x)``."""
     if x.ndim != 2 or w.ndim != 2:
         return None
     n, kdim = x.shape
@@ -566,48 +610,68 @@ def fused_dense_act_sketch(spec, x: jax.Array, w: jax.Array, bias,
              jnp.zeros((m,), jnp.float32)).reshape(1, m).astype(jnp.float32)
     sigma2 = sigma.reshape(n, 1).astype(jnp.float32)
 
-    kernel = functools.partial(_dense_act_sketch_kernel, spec, bm, grid[2],
-                               slabs)
-    out_shapes = (
+    with_skx = sigma_x is not None
+    kernel = functools.partial(
+        _kernel_skx if with_skx else _kernel_no_skx, spec, bm, bk, grid[2],
+        slabs)
+    in_specs = [
+        pl.BlockSpec((1, nb), lambda j, i, k: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((bn, bk), lambda j, i, k: (i, k),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bk, bm), lambda j, i, k: (k, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bm), lambda j, i, k: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bn, 1), lambda j, i, k: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((bn, bm), lambda j, i, k: (i, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((spec.bits, gr, bm), lambda j, i, k: (0, i, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((k_eff, bm), lambda j, i, k: (0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shapes = [
         jax.ShapeDtypeStruct((n, m), out_dtype),
         jax.ShapeDtypeStruct((spec.bits, (n // bn) * gr, m), jnp.uint32),
         jax.ShapeDtypeStruct((k_eff, m), jnp.float32),
-    )
-    y, packed, sk = pl.pallas_call(
+    ]
+    operands = [borders2, x, w, bias2, sigma2]
+    if with_skx:
+        in_specs.append(pl.BlockSpec((bn, 1), lambda j, i, k: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(sigma_x.reshape(n, 1).astype(jnp.float32))
+        # Full-width (k_eff, kdim) block, constant index: resident in VMEM
+        # for the whole grid, flushed once.
+        out_specs.append(pl.BlockSpec((k_eff, kdim),
+                                      lambda j, i, k: (0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct((k_eff, kdim), jnp.float32))
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, nb), lambda j, i, k: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((bn, bk), lambda j, i, k: (i, k),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk, bm), lambda j, i, k: (k, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bm), lambda j, i, k: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn, 1), lambda j, i, k: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((bn, bm), lambda j, i, k: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((spec.bits, gr, bm), lambda j, i, k: (0, i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k_eff, bm), lambda j, i, k: (0, j),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=out_shapes,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
         scratch_shapes=[pltpu.VMEM((bn, bm), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * n * m * kdim + 4 * n * m,
             bytes_accessed=(n * kdim * grid[0] + kdim * m * grid[1])
             * x.dtype.itemsize + n * m * out_dtype.itemsize
-            + spec.bits * n * m // 8 + k_eff * m * 4,
+            + spec.bits * n * m // 8 + k_eff * m * 4
+            + (k_eff * kdim * 4 if with_skx else 0),
             transcendentals=n * m,
         ),
         interpret=_interpret_mode(),
         compiler_params=_compiler_params(),
-    )(borders2, x, w, bias2, sigma2)
+    )(*operands)
+    if with_skx:
+        y, packed, sk, skx = outs
+        return y, packed, sk, skx
+    y, packed, sk = outs
     return y, packed, sk
 
 

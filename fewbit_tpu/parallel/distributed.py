@@ -45,7 +45,8 @@ from jax.sharding import Mesh
 
 __all__ = ("init_distributed", "make_pod_mesh", "pod_mesh_spec",
            "host_groups", "collective_groups",
-           "assert_pod_collective_layout")
+           "assert_pod_collective_layout",
+           "assert_collective_compute_overlap", "tpu_aot_mesh")
 
 _ENV_COORD = ("FEWBIT_COORDINATOR", "JAX_COORDINATOR_ADDRESS")
 _ENV_NPROC = ("FEWBIT_NUM_PROCESSES",)
@@ -274,3 +275,103 @@ def assert_pod_collective_layout(hlo_text: str, mesh: Mesh,
                     f"({hosts_hit}) — cannot decompose into ICI reduction "
                     "+ one DCN exchange")
     return counts
+
+
+# ---------------------------------------------------------------------------
+# Collective/compute overlap, asserted from the *scheduled* executable.
+#
+# SURVEY §2.3 mandates the dp gradient all-reduce be overlapped against the
+# backward compute.  The TPU executable's post-optimisation module is
+# scheduled (``is_scheduled=true``: the printed instruction order of the
+# entry computation IS the execution order), so overlap is checkable: the
+# per-parameter gradient all-reduces must be issued as their operands become
+# ready — interleaved with the remaining backward/optimizer compute — rather
+# than serialised after the last compute op.  (Below HLO level, XLA's async
+# collective fusion runs the issued collective on the ICI/DMA engines while
+# the tensor core proceeds — the HLO schedule decides *what is available* to
+# overlap, which is what this asserts.)  Async start/done pairs, when the
+# backend emits them, are checked directly for compute between start and
+# done.
+# ---------------------------------------------------------------------------
+
+_HEAVY_OPS = ("fusion(", " dot(", "convolution(", "custom-call(")
+
+
+def _entry_instructions(hlo_text: str):
+    lines, in_entry = [], False
+    for line in hlo_text.splitlines():
+        if line.startswith("ENTRY"):
+            in_entry = True
+            continue
+        if in_entry:
+            if line.startswith("}"):
+                break
+            lines.append(line.strip())
+    return lines
+
+
+def assert_collective_compute_overlap(hlo_text: str,
+                                      min_compute_after: int = 2) -> dict:
+    """Assert the scheduled module interleaves collectives with compute.
+
+    Requires a scheduled module (TPU executables; AOT topology compiles
+    included).  Passes when (a) async ``all-reduce-start``/``-done`` pairs
+    exist with compute scheduled between them, or (b) sync all-reduces are
+    scheduled with at least ``min_compute_after`` heavy compute ops
+    (fusions/dots/custom-calls) after the FIRST collective issues — i.e. the
+    collectives do not all trail the compute.  Returns counts for callers to
+    record."""
+    if "is_scheduled=true" not in hlo_text:
+        raise AssertionError(
+            "module is not scheduled — overlap cannot be asserted from it "
+            "(compile for a TPU target, e.g. via tpu_aot_mesh)")
+    entry = _entry_instructions(hlo_text)
+    starts = [i for i, l in enumerate(entry) if "all-reduce-start" in l]
+    dones = [i for i, l in enumerate(entry) if "all-reduce-done" in l]
+    ars = [i for i, l in enumerate(entry)
+           if "all-reduce" in l and "-start" not in l and "-done" not in l]
+    heavy = [i for i, l in enumerate(entry)
+             if any(op in l for op in _HEAVY_OPS)]
+    result = {"n_all_reduce": len(ars) + len(starts),
+              "async_pairs": len(starts),
+              "compute_between_async": 0,
+              "compute_after_first_collective": 0}
+    if not (ars or starts):
+        raise AssertionError("no all-reduce in the scheduled module")
+    if starts and dones:
+        between = sum(1 for h in heavy
+                      if any(s < h < d for s, d in zip(starts, dones)))
+        result["compute_between_async"] = between
+        if between >= 1:
+            return result
+    first = min(ars + starts)
+    after = sum(1 for h in heavy if h > first)
+    result["compute_after_first_collective"] = after
+    if after < min_compute_after:
+        raise AssertionError(
+            f"only {after} compute ops are scheduled after the first "
+            f"gradient all-reduce (index {first} of {len(entry)}) — the "
+            "collectives trail the compute instead of overlapping it")
+    return result
+
+
+def tpu_aot_mesh(topology: str = "v5e:2x4",
+                 axis_names: Tuple[str, ...] = ("dp",),
+                 shape: Optional[Tuple[int, ...]] = None) -> Optional[Mesh]:
+    """Mesh over a *deviceless* TPU topology for AOT compile-only checks.
+
+    Lets CPU-only environments (the test suite, the driver dry run) compile
+    the real multi-chip TPU executable — scheduled HLO included — without
+    TPU hardware attached.  Returns None when no TPU compiler is reachable
+    (callers skip)."""
+    try:
+        from jax.experimental import topologies
+
+        topo = topologies.get_topology_desc(platform="tpu",
+                                            topology_name=topology)
+        devices = np.array(topo.devices)
+    except Exception:  # noqa: BLE001 — no TPU plugin/compiler available
+        return None
+    if shape is not None:
+        devices = devices.reshape(shape)
+    return Mesh(devices, axis_names=axis_names)

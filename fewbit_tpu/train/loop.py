@@ -145,8 +145,12 @@ def make_eval_step(model: nn.Module) -> Callable:
 
     @jax.jit
     def step(state: TrainState, batch):
+        # Sketches only affect gradients, so eval could run on the constant-
+        # key fallback — but thread an explicit key anyway so eval never
+        # trips the fallback warning (or the strict mode).
         logits = state.apply_fn({"params": state.params},
-                                *_model_inputs(batch), deterministic=True)
+                                *_model_inputs(batch), deterministic=True,
+                                rngs={"sketch": jax.random.key(0)})
         preds = jnp.argmax(logits, axis=-1)
         return {"accuracy": (preds == batch["labels"]).mean(),
                 "loss": classification_loss(logits, batch["labels"])}

@@ -177,6 +177,20 @@ class TestPallasParity:
         np.testing.assert_allclose(np.asarray(sk), np.asarray(ref),
                                    atol=1e-3, rtol=1e-4)
 
+        # With sigma_x, the kernel also emits the input countsketch (riding
+        # its own read of x) — must equal the jnp bucket sum of x.
+        sigma_x = _signs(jax.random.key(5), n)
+        out2 = pk.fused_dense_act_sketch(spec, x, wu, None, b_arr, sigma,
+                                         k_eff, y_dtype=jnp.float32,
+                                         sigma_x=sigma_x)
+        assert out2 is not None and len(out2) == 4
+        y2, packed2, sk2, skx = out2
+        np.testing.assert_allclose(np.asarray(y2), np.asarray(y))
+        np.testing.assert_allclose(np.asarray(sk2), np.asarray(sk))
+        ref_x = _countsketch_signed(x, sigma_x, k_eff)
+        np.testing.assert_allclose(np.asarray(skx), np.asarray(ref_x),
+                                   atol=1e-3, rtol=1e-4)
+
 
 class TestModule:
 

@@ -47,7 +47,8 @@ class TestGPT:
         batch = tiny_batch()
         params = init(model, batch)
         logits = model.apply(params, batch["input_ids"],
-                             batch["attention_mask"], deterministic=True)
+                             batch["attention_mask"], deterministic=True,
+                             rngs={"sketch": jax.random.key(9)})
         assert logits.shape == (4, 16, cfg.vocab_size)
         assert bool(jnp.isfinite(logits).all())
 

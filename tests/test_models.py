@@ -38,7 +38,8 @@ class TestRoberta:
         params = model.init(keys, batch["input_ids"],
                             batch["attention_mask"], deterministic=True)
         logits = model.apply(params, batch["input_ids"],
-                             batch["attention_mask"], deterministic=True)
+                             batch["attention_mask"], deterministic=True,
+                             rngs={"sketch": jax.random.key(9)})
         assert logits.shape == (4, 2)
         assert bool(jnp.isfinite(logits).all())
 
@@ -92,7 +93,8 @@ class TestRoberta:
             {"params": jax.random.key(0), "sketch": jax.random.key(1)},
             batch["input_ids"], batch["attention_mask"])
         logits = model.apply(params, batch["input_ids"],
-                             batch["attention_mask"])
+                             batch["attention_mask"],
+                             rngs={"sketch": jax.random.key(9)})
         assert logits.dtype == jnp.bfloat16
         g = jax.grad(lambda p: model.apply(
             p, batch["input_ids"], batch["attention_mask"],

@@ -64,7 +64,20 @@ class TestRandomizedDense:
     def test_apply_without_rng(self):
         mod = M.RandomizedDense(features=8, proj_dim=4)
         params = mod.init({"params": KEY}, X)
-        y = mod.apply(params, X)  # inference without sketch rng works
+        # Inference without a sketch rng works — on the constant-key
+        # fallback, which must warn (training this way would freeze the
+        # sketch signs).
+        with pytest.warns(UserWarning, match="constant key"):
+            y = mod.apply(params, X)
+        assert y.shape == (16, 8)
+
+    def test_strict_sketch_rng_mode(self, monkeypatch):
+        monkeypatch.setenv("FEWBIT_TPU_STRICT_SKETCH", "1")
+        mod = M.RandomizedDense(features=8, proj_dim=4)
+        params = mod.init({"params": KEY}, X)  # init: params rng suffices
+        with pytest.raises(RuntimeError, match="sketch"):
+            mod.apply(params, X)
+        y = mod.apply(params, X, rngs={"sketch": jax.random.key(1)})
         assert y.shape == (16, 8)
 
     def test_grad_flows(self):
