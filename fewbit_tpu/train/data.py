@@ -14,8 +14,8 @@ from typing import Dict, Iterator, Optional
 import numpy as np
 
 __all__ = ("synthetic_glue", "load_glue", "load_tokenized_npz",
-           "batches_from_arrays", "real_text_corpus", "byte_lm_arrays",
-           "byte_lm_batches")
+           "batches_from_arrays", "real_text_corpus", "real_text_documents",
+           "byte_lm_arrays", "byte_lm_batches", "real_pair_arrays")
 
 
 def synthetic_glue(batch_size: int,
@@ -121,11 +121,11 @@ def batches_from_arrays(arrays: Dict[str, np.ndarray], batch_size: int,
 _CORPUS_DIRS = ("/usr/share/common-licenses",)
 
 
-def real_text_corpus(dirs=_CORPUS_DIRS, max_bytes: int = 4 << 20) -> bytes:
-    """Concatenated real English text from the image; deterministic order."""
+def real_text_documents(dirs=_CORPUS_DIRS, max_bytes: int = 4 << 20):
+    """Per-file real English documents from the image; deterministic order."""
     import os
 
-    chunks = []
+    docs = []
     total = 0
     for d in dirs:
         if not os.path.isdir(d):
@@ -136,13 +136,18 @@ def real_text_corpus(dirs=_CORPUS_DIRS, max_bytes: int = 4 << 20) -> bytes:
                 continue
             with open(p, "rb") as fh:
                 data = fh.read()
-            chunks.append(data)
+            docs.append(data)
             total += len(data)
             if total >= max_bytes:
                 break
-    if not chunks:
+    if not docs:
         raise FileNotFoundError(f"no corpus text found under {dirs}")
-    return b"\n\n".join(chunks)[:max_bytes]
+    return docs
+
+
+def real_text_corpus(dirs=_CORPUS_DIRS, max_bytes: int = 4 << 20) -> bytes:
+    """Concatenated real English text from the image; deterministic order."""
+    return b"\n\n".join(real_text_documents(dirs, max_bytes))[:max_bytes]
 
 
 def byte_lm_arrays(text: bytes, seq_len: int = 128,
@@ -177,6 +182,81 @@ def byte_lm_batches(ids: np.ndarray, batch_size: int,
             yield {"input_ids": tokens,
                    "attention_mask": np.ones_like(tokens),
                    "labels": labels}
+
+
+def real_pair_arrays(documents=None, seq_len: int = 128,
+                     val_fraction: float = 0.1, seed: int = 0,
+                     min_segment: int = 20):
+    """MRPC-shaped sentence-pair classification from REAL prose.
+
+    MRPC asks whether two sentences are paraphrases; the no-egress stand-in
+    with the same shape asks whether two real text segments come from the
+    SAME document and are consecutive (label 1) or from two DIFFERENT
+    documents (label 0) — a binary decision over genuine English text pairs
+    that needs actual textual signal (shared topic/vocabulary/style of one
+    license text vs another) to beat chance.
+
+    Encoding is byte-level with RoBERTa special-token conventions:
+    ``<s>=0 pad=1 </s>=2``, byte ``b`` -> token ``b + 3`` (vocab 259);
+    layout ``<s> seg1 </s> </s> seg2 </s>`` truncated/padded to
+    ``seq_len``.  Returns ``(train, val)`` dicts with ``input_ids`` /
+    ``attention_mask`` / ``labels``; the split is by PAIR (both classes
+    appear in both splits).
+    """
+    import re
+
+    if documents is None:
+        documents = real_text_documents()
+    doc_parts = []
+    for doc in documents:
+        parts = [p.strip() for p in re.split(rb"(?<=[.!?:;])\s+|\n\n+",
+                                             doc)]
+        parts = [p for p in parts if len(p) >= min_segment]
+        if len(parts) >= 2:
+            doc_parts.append(parts)
+    if len(doc_parts) < 2:
+        raise ValueError("need at least two documents for the pair task")
+    rng = np.random.RandomState(seed)
+    half = (seq_len - 4) // 2
+
+    def encode(s1: bytes, s2: bytes):
+        toks = ([0] + [b + 3 for b in s1[:half]] + [2, 2]
+                + [b + 3 for b in s2[:half]] + [2])
+        toks = toks[:seq_len]
+        mask = [1] * len(toks) + [0] * (seq_len - len(toks))
+        toks = toks + [1] * (seq_len - len(toks))
+        return toks, mask
+
+    ids, masks, labels = [], [], []
+    for d, parts in enumerate(doc_parts):
+        for i in range(len(parts) - 1):
+            ids_m, mask_m = encode(parts[i], parts[i + 1])
+            ids.append(ids_m)
+            masks.append(mask_m)
+            labels.append(1)
+            # Negative: second segment from a different document.
+            d2 = rng.randint(0, len(doc_parts) - 1)
+            if d2 >= d:
+                d2 += 1
+            other = doc_parts[d2]
+            ids_m, mask_m = encode(parts[i],
+                                   other[rng.randint(0, len(other))])
+            ids.append(ids_m)
+            masks.append(mask_m)
+            labels.append(0)
+
+    ids = np.asarray(ids, np.int32)
+    masks = np.asarray(masks, np.int32)
+    labels = np.asarray(labels, np.int32)
+    order = rng.permutation(len(labels))
+    n_val = max(int(len(labels) * val_fraction), 2)
+    val_idx, train_idx = order[:n_val], order[n_val:]
+
+    def take(idx):
+        return {"input_ids": ids[idx], "attention_mask": masks[idx],
+                "labels": labels[idx]}
+
+    return take(train_idx), take(val_idx)
 
 
 def load_glue(task: str = "mrpc", split: str = "train",

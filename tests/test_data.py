@@ -66,3 +66,30 @@ def test_byte_lm_arrays_and_batches():
     np.testing.assert_array_equal(batch["labels"][:, :-1],
                                   batch["input_ids"][:, 1:])
     assert batch["labels"].min() >= 0  # bytes, all valid targets
+
+
+def test_real_pair_arrays_shapes_and_semantics():
+    from fewbit_tpu.train import real_pair_arrays, real_text_documents
+
+    docs = real_text_documents()
+    assert len(docs) >= 2
+    train, val = real_pair_arrays(docs, seq_len=64)
+    for split in (train, val):
+        n, s = split["input_ids"].shape
+        assert s == 64
+        assert split["attention_mask"].shape == (n, 64)
+        assert split["labels"].shape == (n,)
+        assert set(np.unique(split["labels"])) <= {0, 1}
+        # RoBERTa conventions: <s> first, tokens in [0, 259).
+        assert (split["input_ids"][:, 0] == 0).all()
+        assert split["input_ids"].min() >= 0
+        assert split["input_ids"].max() < 259
+        # padding carries mask 0 and token 1
+        pad = split["attention_mask"] == 0
+        assert (split["input_ids"][pad] == 1).all()
+    # roughly balanced classes in both splits
+    assert 0.35 < train["labels"].mean() < 0.65
+    assert 0.35 < val["labels"].mean() < 0.65
+    # deterministic under the same seed
+    train2, _ = real_pair_arrays(docs, seq_len=64)
+    np.testing.assert_array_equal(train["input_ids"], train2["input_ids"])

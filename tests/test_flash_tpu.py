@@ -1,0 +1,76 @@
+"""Flash attention on the real TPU: parity with the standard path.
+
+The conftest pins the suite to CPU, where the flash flag silently falls back
+(covered by ``test_models.py``); this file holds the REAL-chip evidence —
+run with ``FEWBIT_TEST_TPU=1`` so the Pallas flash kernel actually executes:
+
+    FEWBIT_TEST_TPU=1 python -m pytest tests/test_flash_tpu.py -q
+
+Measured results are recorded in docs/BENCHMARKS.md (flash attention rows).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fewbit_tpu.models import RobertaConfig, RobertaForSequenceClassification
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="flash attention kernel needs the real TPU "
+           "(FEWBIT_TEST_TPU=1 to run)")
+
+
+CFG = dict(vocab_size=512, hidden_size=256, num_layers=2, num_heads=4,
+           max_position_embeddings=260, intermediate_size=512, num_labels=2,
+           hidden_dropout=0.0, attention_dropout=0.0)
+
+
+def _batch(bs=4, seq=256, seed=0):
+    rng = np.random.RandomState(seed)
+    ids = rng.randint(3, 512, size=(bs, seq)).astype(np.int32)
+    mask = np.ones((bs, seq), np.int32)
+    # ragged tail: last quarter of the second half padded out
+    mask[bs // 2:, -seq // 4:] = 0
+    ids[bs // 2:, -seq // 4:] = 1
+    return jnp.asarray(ids), jnp.asarray(mask)
+
+
+def test_flash_attention_matches_standard_path():
+    """Eval-mode forward: flash vs standard attention on identical params
+    must agree to bf16-matmul tolerance, including with a ragged mask."""
+    std = RobertaForSequenceClassification(RobertaConfig(**CFG))
+    flash = RobertaForSequenceClassification(
+        RobertaConfig(**CFG, flash_attention=True))
+    ids, mask = _batch()
+    params = std.init(jax.random.key(0), ids, mask)
+    a = std.apply(params, ids, mask, deterministic=True)
+    b = flash.apply(params, ids, mask, deterministic=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_flash_attention_backward_runs_and_matches():
+    """Gradients through the flash kernel agree with the standard path."""
+    std = RobertaForSequenceClassification(RobertaConfig(**CFG))
+    flash = RobertaForSequenceClassification(
+        RobertaConfig(**CFG, flash_attention=True))
+    ids, mask = _batch()
+    params = std.init(jax.random.key(0), ids, mask)
+
+    def loss(model):
+        def f(p):
+            out = model.apply(p, ids, mask, deterministic=True)
+            return (out.astype(jnp.float32) ** 2).sum()
+        return f
+
+    ga = jax.jit(jax.grad(loss(std)))(params)
+    gb = jax.jit(jax.grad(loss(flash)))(params)
+    la = jax.tree_util.tree_leaves(ga)
+    lb = jax.tree_util.tree_leaves(gb)
+    rel = max(
+        float(jnp.abs(x - y).max() / (jnp.abs(x).max() + 1e-6))
+        for x, y in zip(la, lb))
+    assert rel < 5e-2, f"flash/standard grad mismatch: rel={rel}"
