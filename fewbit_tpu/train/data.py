@@ -15,7 +15,8 @@ import numpy as np
 
 __all__ = ("synthetic_glue", "load_glue", "load_tokenized_npz",
            "batches_from_arrays", "real_text_corpus", "real_text_documents",
-           "byte_lm_arrays", "byte_lm_batches", "real_pair_arrays")
+           "byte_lm_arrays", "byte_lm_batches", "real_pair_arrays",
+           "real_doc_arrays")
 
 
 def synthetic_glue(batch_size: int,
@@ -257,6 +258,52 @@ def real_pair_arrays(documents=None, seq_len: int = 128,
                 "labels": labels[idx]}
 
     return take(train_idx), take(val_idx)
+
+
+def real_doc_arrays(documents=None, seq_len: int = 128,
+                    val_fraction: float = 0.1, seed: int = 0,
+                    min_segment: int = 64):
+    """Real-prose single-segment document classification.
+
+    Each example is one genuine text segment; the label is which document
+    (license text) it came from — byte-level topic/style classification
+    over real English, the classification-head analog that a small
+    from-scratch model demonstrably learns (unlike the relational
+    :func:`real_pair_arrays` task, which needs a pretrained encoder).
+    Same byte encoding as the pair task (``<s>=0 pad=1 </s>=2``,
+    byte ``b`` -> ``b + 3``).  Returns ``(train, val, num_classes)``.
+    """
+    import re
+
+    if documents is None:
+        documents = real_text_documents()
+    ids_l, labels = [], []
+    for d, doc in enumerate(documents):
+        parts = [p.strip() for p in re.split(rb"(?<=[.!?:;])\s+|\n\n+",
+                                             doc)]
+        for p in parts:
+            if len(p) < min_segment:
+                continue
+            toks = [0] + [b + 3 for b in p[:seq_len - 2]] + [2]
+            pad = seq_len - len(toks)
+            ids_l.append(toks + [1] * pad)
+            labels.append(d)
+    ids = np.asarray(ids_l, np.int32)
+    labels = np.asarray(labels, np.int32)
+    if len(labels) < 16:
+        raise ValueError("corpus too small for the doc-classification task")
+    rng = np.random.RandomState(seed)
+    order = rng.permutation(len(labels))
+    n_val = max(int(len(labels) * val_fraction), 2)
+    val_idx, train_idx = order[:n_val], order[n_val:]
+
+    def take(idx):
+        sub = ids[idx]
+        return {"input_ids": sub,
+                "attention_mask": (sub != 1).astype(np.int32),
+                "labels": labels[idx]}
+
+    return take(train_idx), take(val_idx), int(labels.max()) + 1
 
 
 def load_glue(task: str = "mrpc", split: str = "train",

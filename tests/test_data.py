@@ -93,3 +93,20 @@ def test_real_pair_arrays_shapes_and_semantics():
     # deterministic under the same seed
     train2, _ = real_pair_arrays(docs, seq_len=64)
     np.testing.assert_array_equal(train["input_ids"], train2["input_ids"])
+
+
+def test_real_doc_arrays():
+    from fewbit_tpu.train import real_doc_arrays
+
+    train, val, n_cls = real_doc_arrays(seq_len=64)
+    assert n_cls >= 2
+    for split in (train, val):
+        n, s = split["input_ids"].shape
+        assert s == 64
+        assert split["labels"].min() >= 0
+        assert split["labels"].max() < n_cls
+        assert (split["input_ids"][:, 0] == 0).all()
+        pad = split["attention_mask"] == 0
+        assert (split["input_ids"][pad] == 1).all()
+    # every class that appears is a real document index
+    assert len(set(train["labels"].tolist())) >= 2

@@ -70,7 +70,12 @@ def test_flash_attention_backward_runs_and_matches():
     gb = jax.jit(jax.grad(loss(flash)))(params)
     la = jax.tree_util.tree_leaves(ga)
     lb = jax.tree_util.tree_leaves(gb)
+    # Denominator floored at 1e-2: the key-projection BIAS gradient is
+    # mathematically zero (a shared key bias shifts every logit of a query
+    # equally and cancels in the softmax), so both paths produce pure
+    # rounding noise there and a relative comparison is meaningless.
     rel = max(
-        float(jnp.abs(x - y).max() / (jnp.abs(x).max() + 1e-6))
+        float(jnp.abs(x - y).max()
+              / jnp.maximum(jnp.abs(x).max(), 1e-2))
         for x, y in zip(la, lb))
     assert rel < 5e-2, f"flash/standard grad mismatch: rel={rel}"

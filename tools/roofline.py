@@ -122,20 +122,36 @@ def measure_elementwise(spec, borders, levels, bits):
 
 
 def measure_matmul(spec, borders, levels, bits):
+    """Matmul-family kernels, each BRACKETED by adjacent timings of the
+    same-shape XLA bf16 matmul.  The chip's throughput drifts by tens of
+    percent within a session (docs/BENCHMARKS.md), so a kernel's honest
+    figure of merit is the ratio to an XLA baseline measured seconds — not
+    minutes — away; the raw times are kept for the bandwidth/MXU columns."""
     from fewbit_tpu.functional.ffn import _signs
     from fewbit_tpu.ops import pallas_kernels as pk
 
     x = jax.random.normal(jax.random.key(1), (N, K), jnp.float32)
     w = jax.random.normal(jax.random.key(2), (K, M), jnp.float32) * 0.02
+    wb = w.astype(jnp.bfloat16)
     k_eff = pk.countsketch_aligned_keff(N, int(0.2 * N))
     sigma = _signs(jax.random.key(3), N)
     flops = 2.0 * N * K * M
+
+    def xla_body(i, c):
+        y = c.astype(jnp.bfloat16) @ wb
+        return touch(c, y)
+
+    def bracketed(body, carry):
+        t0 = timed_loop(xla_body, x)
+        t = timed_loop(body, carry)
+        t1 = timed_loop(xla_body, x)
+        return t, t / ((t0 + t1) / 2)
 
     def da_body(i, c):
         y, _p = pk.fused_dense_act(spec, c, w, None, borders)
         return touch(c, y)
 
-    t_da = timed_loop(da_body, x)
+    t_da, r_da = bracketed(da_body, x)
     by_da = 4 * N * K + 4 * K * M + 4 * N * M + bits / 8 * N * M
 
     def das_body(i, c):
@@ -144,7 +160,7 @@ def measure_matmul(spec, borders, levels, bits):
                                                y_dtype=jnp.bfloat16)
         return touch(c, y)
 
-    t_das = timed_loop(das_body, x)
+    t_das, r_das = bracketed(das_body, x)
     by_das = (4 * N * K + 4 * K * M + 2 * N * M + bits / 8 * N * M
               + 4 * k_eff * M)
 
@@ -164,14 +180,17 @@ def measure_matmul(spec, borders, levels, bits):
             dz_dtype=jnp.bfloat16)
         return touch(c, dz)
 
-    t_mlb = timed_loop(mlb_body, g)
+    t_mlb, r_mlb = bracketed(mlb_body, g)
     by_mlb = (2 * N * K + 2 * K * M + bits / 8 * N * M + 2 * N * M
               + 4 * k_eff * M)
 
     return [
-        (f"fused_dense_act (megakernel, {bits}-bit)", t_da, by_da, flops),
-        (f"fused_dense_act_sketch ({bits}-bit)", t_das, by_das, flops),
-        (f"fused_matmul_lut_backward ({bits}-bit)", t_mlb, by_mlb, flops),
+        (f"fused_dense_act (megakernel, {bits}-bit)", t_da, by_da, flops,
+         r_da),
+        (f"fused_dense_act_sketch ({bits}-bit)", t_das, by_das, flops,
+         r_das),
+        (f"fused_matmul_lut_backward ({bits}-bit)", t_mlb, by_mlb, flops,
+         r_mlb),
     ]
 
 
@@ -365,7 +384,9 @@ def main():
         rows += measure_matmul(spec, borders, levels, bits)
 
     out = []
-    for name, t, byt, flops in rows:
+    for row_t in rows:
+        name, t, byt, flops = row_t[:4]
+        vs_xla = row_t[4] if len(row_t) > 4 else None
         bw = byt / t
         row = {"kernel": name, "ms": round(t * 1e3, 3),
                "GB_s": round(bw / 1e9, 1),
@@ -373,17 +394,24 @@ def main():
         if flops:
             row["TFLOP_s"] = round(flops / t / 1e12, 1)
             row["mxu_peak_pct"] = round(100 * flops / t / MXU_PEAK, 1)
+        if vs_xla is not None:
+            # time ratio to the ADJACENT (drift-immune) XLA same-shape
+            # bf16 matmul; <1 means faster than the bare matmul.
+            row["vs_xla_matmul"] = round(vs_xla, 3)
+            row["pct_of_xla_matmul"] = round(100 / vs_xla, 1)
         out.append(row)
 
     if args.markdown:
         print("| kernel | time | HBM GB/s | % HBM peak | TFLOP/s |"
-              " % MXU peak |")
-        print("|---|---|---|---|---|---|")
+              " % MXU peak | % of XLA matmul |")
+        print("|---|---|---|---|---|---|---|")
         for r in out:
             tf = f"{r['TFLOP_s']}" if "TFLOP_s" in r else "—"
             mx = f"{r['mxu_peak_pct']}%" if "mxu_peak_pct" in r else "—"
+            vx = (f"{r['pct_of_xla_matmul']}%"
+                  if "pct_of_xla_matmul" in r else "—")
             print(f"| {r['kernel']} | {r['ms']} ms | {r['GB_s']} |"
-                  f" {r['hbm_peak_pct']}% | {tf} | {mx} |")
+                  f" {r['hbm_peak_pct']}% | {tf} | {mx} | {vx} |")
     else:
         for r in out:
             print(json.dumps(r))
