@@ -144,12 +144,13 @@ def _ffn_fwd(cfg, x, w_up, b_up, w_down, b_down, key, borders, levels):
         # jnp-parity tests compare like against like; mirror that here.
         y_dtype = (jnp.bfloat16 if x.dtype == jnp.float32.dtype
                    and not pk._interpret_mode() else x.dtype)
-        # sigma_x: the x-sketch (the up projection's weight-gradient
-        # residual) rides the kernel's own read of x — no separate HBM
-        # pass over the input.
+        # The kernel CAN also emit the x-sketch in the same pass
+        # (sigma_x=...), but at headline shapes the (k_eff, kdim)
+        # VMEM-resident accumulator costs +4.4% model step time vs the
+        # separate jnp pass over the narrow x (A/B-measured on chip,
+        # docs/BENCHMARKS.md) — so the x-sketch stays a jnp pass here.
         outs = pk.fused_dense_act_sketch(spec, x2, w_up, b_up, borders,
-                                         sig_down, k_eff, y_dtype=y_dtype,
-                                         sigma_x=sig_up)
+                                         sig_down, k_eff, y_dtype=y_dtype)
     if outs is None:
         z = _dot_f32(x2, w_up)
         if b_up is not None:
@@ -158,9 +159,9 @@ def _ffn_fwd(cfg, x, w_up, b_up, w_down, b_down, key, borders, levels):
         packed = pack_codes(codes.reshape(-1), spec.bits)
         y2 = spec.fwd(z, spec.args).astype(x.dtype)
         sk_y = _countsketch_signed(y2, sig_down, k_eff)
-        sk_x = _countsketch_signed(x2, sig_up, k_eff)
     else:
-        y2, packed, sk_y, sk_x = outs
+        y2, packed, sk_y = outs
+    sk_x = _countsketch_signed(x2, sig_up, k_eff)
 
     out = _dot_f32(y2, w_down.astype(y2.dtype))
     if b_down is not None:

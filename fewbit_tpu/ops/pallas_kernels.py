@@ -568,9 +568,12 @@ def fused_dense_act_sketch(spec, x: jax.Array, w: jax.Array, bias,
 
     With ``sigma_x`` (a second (n,) sign vector), ALSO emits the
     countsketch of the input x — the up projection's own weight-gradient
-    residual — riding the kernel's existing read of x, so the FFN forward
-    stops paying a separate HBM pass to sketch x; returns
-    ``(y, packed, sketch_y, sketch_x)``."""
+    residual — riding the kernel's existing read of x; returns
+    ``(y, packed, sketch_y, sketch_x)``.  Measured caveat: the
+    (k_eff, kdim) VMEM-resident accumulator this needs costs more than the
+    separate jnp pass it saves at headline shapes (+4.4% model step,
+    docs/BENCHMARKS.md), so ``fewbit_ffn`` does NOT use it by default —
+    it pays off only when x is wide relative to the VMEM headroom."""
     if x.ndim != 2 or w.ndim != 2:
         return None
     n, kdim = x.shape
