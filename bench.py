@@ -187,8 +187,10 @@ def timed_pair(tag, batch, dtype, time_budget_s=600):
               "mem_saving_pct": round(saving, 2)}
 
     log(f"[{tag}] compiling {LOOP_ITERS}-step timing loops...")
-    loop_v = _with_deadline(300, build_loop, step_v, sv, bv)
-    loop_f = (_with_deadline(300, build_loop, step_f, sf, bf)
+    # 7-minute compile deadline: the relay's slow state takes 4-6 minutes
+    # for the bf16 bs=128 loop compile; memory rows never wait on this.
+    loop_v = _with_deadline(420, build_loop, step_v, sv, bv)
+    loop_f = (_with_deadline(420, build_loop, step_f, sf, bf)
               if loop_v is not None else None)
     if loop_f is not None:
         out = _with_deadline(320, measure_interleaved, loop_v, loop_f,
