@@ -83,8 +83,11 @@ def _keff(n: int, k: int) -> int:
 
 
 def _dot_f32(a: jax.Array, b: jax.Array) -> jax.Array:
-    """Matmul with an f32 accumulator regardless of operand dtype."""
-    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+    """Matmul with an f32 accumulator regardless of operand dtype (operands
+    promoted to a common dtype first — bf16 sketches contract natively)."""
+    dt = jnp.promote_types(a.dtype, b.dtype)
+    return jax.lax.dot_general(a.astype(dt), b.astype(dt),
+                               (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
 
 
@@ -199,8 +202,12 @@ def _ffn_bwd(cfg, residual, g):
         gb = g2.astype(jnp.bfloat16) if to_bf16 else g2
         wt = w_down.T.astype(gb.dtype)
         dz_dtype = jnp.bfloat16 if to_bf16 else g2.dtype
+        # sk_dtype keys on the MODEL dtype (g2 may be pre-cast to bf16 for
+        # the MXU on f32 models) so the dw_up contraction against the
+        # residual's sk_x stays dtype-consistent.
         out = pk.fused_matmul_lut_backward(spec, packed, levels, gb, wt,
-                                           sig_up, k_eff, dz_dtype=dz_dtype)
+                                           sig_up, k_eff, dz_dtype=dz_dtype,
+                                           sk_dtype=pk.sketch_dtype(g2.dtype))
     if out is None:
         if packed.ndim == 3:
             from fewbit_tpu.ops.pallas_kernels import unpack_block_layout
@@ -210,7 +217,12 @@ def _ffn_bwd(cfg, residual, g):
             codes = unpack_codes(packed, spec.bits, n * m).reshape(n, m)
         mult = apply_lut(codes, levels, spec.bits)
         dz32 = mult * _dot_f32(g2, w_down.T.astype(g2.dtype))
-        sk_dz = _countsketch_signed(dz32, sig_up, k_eff)
+        from fewbit_tpu.ops.pallas_kernels import sketch_dtype
+
+        # dz32 is f32 here regardless of model dtype; sketch storage still
+        # follows the MODEL-dtype policy so fused/fallback residuals agree.
+        sk_dz = _countsketch_signed(dz32, sig_up, k_eff,
+                                    out_dtype=sketch_dtype(g2.dtype))
         db_up = dz32.sum(axis=0)
         dz = dz32.astype(g2.dtype)
     else:

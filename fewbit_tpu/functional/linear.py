@@ -99,6 +99,16 @@ def _int_zero_cot(a: jax.Array):
     return np.zeros(a.shape, dtype=jax.dtypes.float0)
 
 
+def _dot_acc_f32(a: jax.Array, b: jax.Array) -> jax.Array:
+    """``a @ b`` with operand-dtype promotion and an f32 accumulator —
+    the sketch-contraction matmul (bf16 sketches hit the MXU natively;
+    the accumulation error stays f32-bounded)."""
+    dt = jnp.promote_types(a.dtype, b.dtype)
+    return jax.lax.dot_general(a.astype(dt), b.astype(dt),
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 def _countsketch_partition(n: int, k: int):
     """Pick a tile-friendly stride partition for the countsketch.
 
@@ -123,21 +133,32 @@ def _countsketch_partition(n: int, k: int):
     return None
 
 
-def _countsketch_signed(mat: jax.Array, sigma: jax.Array,
-                        k_eff: int) -> jax.Array:
+def _countsketch_signed(mat: jax.Array, sigma: jax.Array, k_eff: int,
+                        out_dtype=None) -> jax.Array:
     """Signed bucket sum with bucket = row % k_eff — the stride partition
     shared by every countsketch variant (jnp and Pallas), so sketches from
-    any path contract bucket-for-bucket against each other."""
+    any path contract bucket-for-bucket against each other.
+
+    Storage follows :func:`fewbit_tpu.ops.pallas_kernels.sketch_dtype`
+    (bf16 sketches for bf16 models — halves residual memory and sketch HBM
+    traffic; the estimator's sampling variance dwarfs the cast error).
+    Accumulation is f32 regardless."""
+    from fewbit_tpu.ops.pallas_kernels import sketch_dtype
+
     n, d = mat.shape
-    signed = mat.astype(jnp.float32) * sigma[:, None]
+    if out_dtype is None:
+        out_dtype = sketch_dtype(mat.dtype)
+    out_dtype = jnp.dtype(out_dtype)
+    signed = mat.astype(out_dtype) * sigma.astype(out_dtype)[:, None]
     if k_eff >= n:
         return signed
     block = n // k_eff
-    main = signed[:block * k_eff].reshape(block, k_eff, d).sum(axis=0)
+    main = signed[:block * k_eff].reshape(block, k_eff, d).sum(
+        axis=0, dtype=jnp.float32)
     rem = n - block * k_eff
     if rem:
-        main = main.at[:rem].add(signed[block * k_eff:])
-    return main
+        main = main.at[:rem].add(signed[block * k_eff:].astype(jnp.float32))
+    return main.astype(out_dtype)
 
 
 def _dense_proj_chunks(n: int, k: int) -> int:
@@ -200,25 +221,9 @@ def _sketch(cfg: _GRPConfig, key: jax.Array, mat: jax.Array,
         # sequence positions into each bucket.  TPU-recommended kind.
         signs = (jax.random.bernoulli(key, 0.5, (n,)).astype(mat.dtype)
                  * 2.0 - 1.0)
-        signed = mat * signs[:, None]
-        d = mat.shape[1]
         part = _countsketch_partition(n, k)
-        if part is not None:
-            # Exact tile-aligned partition (possibly more buckets than
-            # requested — never fewer): one aligned reshape-sum, which XLA
-            # lowers at full HBM bandwidth.
-            block, k_eff = part
-            if block == 1:
-                return signed
-            return signed.reshape(block, k_eff, d).sum(axis=0)
-        block = n // k
-        main = signed[:block * k].reshape(block, k, d).sum(axis=0)
-        rem = n - block * k
-        if rem:
-            # Tail rows fold into the first `rem` buckets — a static-slice
-            # add, no pad copy of the whole batch.
-            main = main.at[:rem].add(signed[block * k:])
-        return main
+        k_eff = part[1] if part is not None else k
+        return _countsketch_signed(mat, signs, k_eff)
     if cfg.matmul == "srht":
         # Subsampled Randomized Hadamard Transform: rows of H_orth D mat,
         # D = random signs, H the Kronecker-factored Walsh-Hadamard (two MXU
@@ -349,13 +354,13 @@ def _linear_grp_core_bwd(cfg, residual, g):
                 grad_x2, g_proj = out
                 grad_b = None
             grad_x = grad_x2.reshape(*g.shape[:-1], kernel.shape[0])
-            grad_k = (sketch.T @ g_proj).astype(kernel.dtype)
+            grad_k = _dot_acc_f32(sketch.T, g_proj).astype(kernel.dtype)
             return (grad_x.astype(g.dtype), grad_k,
                     grad_b.astype(g.dtype) if grad_b is not None else None,
                     _int_zero_cot(key))
         grad_x = (g2 @ kernel.T).reshape(*g.shape[:-1], kernel.shape[0])
         g_proj = _countsketch_signed(g2, sigma, k_eff)
-        grad_k = (sketch.T @ g_proj).astype(kernel.dtype)
+        grad_k = _dot_acc_f32(sketch.T, g_proj).astype(kernel.dtype)
         grad_b = g2.sum(axis=0) if cfg.has_bias else None
         return grad_x.astype(g.dtype), grad_k, grad_b, _int_zero_cot(key)
     grad_x = (g2 @ kernel.T).reshape(*g.shape[:-1], kernel.shape[0])

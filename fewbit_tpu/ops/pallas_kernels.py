@@ -60,6 +60,24 @@ def _compiler_params():
 _SUPPORTED_DTYPES = (jnp.float32, jnp.bfloat16)
 
 
+def sketch_dtype(dtype) -> jnp.dtype:
+    """Storage dtype for countsketch residuals, keyed on the MODEL dtype.
+
+    bf16 models store bf16 sketches: the sketched weight-gradient estimator
+    carries sampling variance ~ ||x||^2 ||g||^2 / k_eff, orders of magnitude
+    above bf16's 2^-8 rounding, so the cast is free accuracy-wise while it
+    halves the residual memory and the sketch's HBM read/write traffic —
+    exactly the term that made the bf16 overhead miss the <3% target in
+    round 4 (docs/BENCHMARKS.md bf16 attribution).  f32 models keep f32
+    sketches (there the matmuls are the dominant cost and the f32 sketch
+    already fits the budget).  Accumulation stays f32 wherever an
+    accumulator exists; in-kernel slab accumulation is in the storage dtype
+    (4-5 adds per bucket at headline shapes — see _ffn_sketch_epilogue).
+    """
+    return (jnp.bfloat16.dtype if jnp.dtype(dtype) == jnp.bfloat16.dtype
+            else jnp.float32.dtype)
+
+
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
@@ -476,8 +494,13 @@ def countsketch_aligned_keff(n: int, k: int) -> Optional[int]:
 
 
 def _ffn_sketch_epilogue(i, slabs, block, sig_ref, sk_ref):
-    """Accumulate a signed row-block into its bucket slab of the sketch."""
-    signed = block * sig_ref[:].astype(jnp.float32)
+    """Accumulate a signed row-block into its bucket slab of the sketch.
+
+    The store dtype follows ``sk_ref`` (bf16 for bf16 models — see
+    :func:`sketch_dtype`); each bucket slab accumulates n/k_eff times
+    (4-5 at headline shapes), so in-ref bf16 accumulation loses far less
+    than the estimator's own sampling noise."""
+    signed = (block * sig_ref[:].astype(jnp.float32)).astype(sk_ref.dtype)
     # program_id is int32; make the literal match so the kernel is x64-proof.
     slab = jax.lax.rem(i, jnp.asarray(slabs, i.dtype))
 
@@ -513,7 +536,9 @@ def _dense_act_sketch_kernel(spec, bm, bk, n_k, slabs, borders_ref, x_ref,
         # once at the end.
         @pl.when(j == 0)
         def _sketch_x():
-            signed = xb.astype(jnp.float32) * sigx_ref[:].astype(jnp.float32)
+            signed = (xb.astype(jnp.float32)
+                      * sigx_ref[:].astype(jnp.float32)).astype(
+                          skx_ref.dtype)
             slab = jax.lax.rem(i, jnp.asarray(slabs, i.dtype))
 
             @pl.when(i < slabs)
@@ -573,7 +598,12 @@ def fused_dense_act_sketch(spec, x: jax.Array, w: jax.Array, bias,
     (k_eff, kdim) VMEM-resident accumulator this needs costs more than the
     separate jnp pass it saves at headline shapes (+4.4% model step,
     docs/BENCHMARKS.md), so ``fewbit_ffn`` does NOT use it by default —
-    it pays off only when x is wide relative to the VMEM headroom."""
+    it pays off only when x is wide relative to the VMEM headroom.
+    Precision caveat: on the native path the x-sketch accumulates from the
+    bf16-cast x the MXU consumes (the jnp ``_countsketch_signed`` it
+    mirrors reads the original-dtype x), so a caller enabling ``sigma_x``
+    on an f32 model gets a bf16-operand sketch — within the estimator's
+    sampling noise, but not bit-identical to the default path."""
     if x.ndim != 2 or w.ndim != 2:
         return None
     n, kdim = x.shape
@@ -596,6 +626,7 @@ def fused_dense_act_sketch(spec, x: jax.Array, w: jax.Array, bias,
         return None
 
     out_dtype = jnp.dtype(y_dtype) if y_dtype is not None else x.dtype
+    sk_dt = sketch_dtype(x.dtype)  # policy keys on the MODEL dtype
     if x.dtype == jnp.float32.dtype and not _interpret_mode():
         x = x.astype(jnp.bfloat16)
         w = w.astype(jnp.bfloat16)
@@ -640,7 +671,7 @@ def fused_dense_act_sketch(spec, x: jax.Array, w: jax.Array, bias,
     out_shapes = [
         jax.ShapeDtypeStruct((n, m), out_dtype),
         jax.ShapeDtypeStruct((spec.bits, (n // bn) * gr, m), jnp.uint32),
-        jax.ShapeDtypeStruct((k_eff, m), jnp.float32),
+        jax.ShapeDtypeStruct((k_eff, m), sk_dt),
     ]
     operands = [borders2, x, w, bias2, sigma2]
     if with_skx:
@@ -652,7 +683,7 @@ def fused_dense_act_sketch(spec, x: jax.Array, w: jax.Array, bias,
         out_specs.append(pl.BlockSpec((k_eff, kdim),
                                       lambda j, i, k: (0, 0),
                                       memory_space=pltpu.VMEM))
-        out_shapes.append(jax.ShapeDtypeStruct((k_eff, kdim), jnp.float32))
+        out_shapes.append(jax.ShapeDtypeStruct((k_eff, kdim), sk_dt))
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -664,8 +695,8 @@ def fused_dense_act_sketch(spec, x: jax.Array, w: jax.Array, bias,
             flops=2 * n * m * kdim + 4 * n * m,
             bytes_accessed=(n * kdim * grid[0] + kdim * m * grid[1])
             * x.dtype.itemsize + n * m * out_dtype.itemsize
-            + spec.bits * n * m // 8 + k_eff * m * 4
-            + (k_eff * kdim * 4 if with_skx else 0),
+            + spec.bits * n * m // 8 + k_eff * m * sk_dt.itemsize
+            + (k_eff * kdim * sk_dt.itemsize if with_skx else 0),
             transcendentals=n * m,
         ),
         interpret=_interpret_mode(),
@@ -721,14 +752,16 @@ def _matmul_lut_bwd_kernel(spec, bm, n_k, slabs, levels_ref, g_ref, wt_ref,
 def fused_matmul_lut_backward(spec, packed: jax.Array, levels: jax.Array,
                               g: jax.Array, wt: jax.Array,
                               sigma: jax.Array, k_eff: int,
-                              dz_dtype=None):
+                              dz_dtype=None, sk_dtype=None):
     """``dz = levels[codes] * (g @ wt)`` in one pass, emitting the
     countsketch of dz and the column sums ``db = sum_n dz``.
 
     ``g``: (N, H) output gradient; ``wt``: (H, M) — the down projection's
     weight already transposed (and pre-cast, with ``g``, to bf16 by the
-    caller on the MXU path).  Returns ``(dz, sketch, db)`` or None outside
-    the envelope."""
+    caller on the MXU path).  ``sk_dtype``: storage dtype of the dz sketch;
+    because the caller may have pre-cast ``g``, it must pass the MODEL
+    dtype's policy explicitly (defaults to :func:`sketch_dtype` of ``g``).
+    Returns ``(dz, sketch, db)`` or None outside the envelope."""
     if g.ndim != 2 or wt.ndim != 2 or packed.ndim != 3:
         return None
     n, h = g.shape
@@ -750,6 +783,8 @@ def fused_matmul_lut_backward(spec, packed: jax.Array, levels: jax.Array,
     grid = (m // bm, n // bn, h // bk)
     slabs = k_eff // bn
     out_dtype = jnp.dtype(dz_dtype) if dz_dtype is not None else g.dtype
+    sk_dt = (jnp.dtype(sk_dtype) if sk_dtype is not None
+             else sketch_dtype(g.dtype))
 
     levels2 = levels.reshape(1, -1).astype(jnp.float32)
     sigma2 = sigma.reshape(n, 1).astype(jnp.float32)
@@ -758,7 +793,7 @@ def fused_matmul_lut_backward(spec, packed: jax.Array, levels: jax.Array,
                                slabs)
     out_shapes = (
         jax.ShapeDtypeStruct((n, m), out_dtype),
-        jax.ShapeDtypeStruct((k_eff, m), jnp.float32),
+        jax.ShapeDtypeStruct((k_eff, m), sk_dt),
         jax.ShapeDtypeStruct((1, m), jnp.float32),
     )
     dz, sk, db = pl.pallas_call(
@@ -790,7 +825,7 @@ def fused_matmul_lut_backward(spec, packed: jax.Array, levels: jax.Array,
             flops=2 * n * m * h + (spec.bits * 2 + (1 << spec.bits)) * n * m,
             bytes_accessed=(n * h * grid[0] + h * m * grid[1])
             * g.dtype.itemsize + n * m * out_dtype.itemsize
-            + spec.bits * n * m // 8 + k_eff * m * 4,
+            + spec.bits * n * m // 8 + k_eff * m * sk_dt.itemsize,
             transcendentals=0,
         ),
         interpret=_interpret_mode(),
@@ -918,7 +953,9 @@ def _matmul_input_sketch_kernel(S, C, want_colsum, x_ref, w_ref,
 
     @pl.when(c == C - 1)
     def _emit_sketch():
-        sk_ref[:] = sk_acc_ref[:]
+        # Accumulation is f32 in scratch; only the store follows the
+        # sketch-storage policy (bf16 for bf16 models).
+        sk_ref[:] = sk_acc_ref[:].astype(sk_ref.dtype)
 
     if want_colsum:
         @pl.when((s == S - 1) & (c == C - 1))
@@ -952,6 +989,7 @@ def fused_matmul_input_sketch(x: jax.Array, w: jax.Array, bias,
     grid = (S, C)
 
     out_dtype = x.dtype
+    sk_dt = sketch_dtype(x.dtype)  # policy keys on the MODEL dtype
     if x.dtype == jnp.float32.dtype and not _interpret_mode():
         # MXU precision policy matches fused_dense_act: XLA lowers f32
         # matmuls to bf16 passes on TPU; the sketch residual then also
@@ -969,7 +1007,7 @@ def fused_matmul_input_sketch(x: jax.Array, w: jax.Array, bias,
                                want_colsum)
     out_shapes = (
         jax.ShapeDtypeStruct((n, m), out_dtype),
-        jax.ShapeDtypeStruct((k_eff, kdim), jnp.float32),
+        jax.ShapeDtypeStruct((k_eff, kdim), sk_dt),
         jax.ShapeDtypeStruct((1, kdim), jnp.float32),
     )
     y, sk, cs = pl.pallas_call(
@@ -1002,7 +1040,8 @@ def fused_matmul_input_sketch(x: jax.Array, w: jax.Array, bias,
             flops=2 * n * m * kdim + 2 * n * kdim,
             bytes_accessed=n * kdim * x.dtype.itemsize
             + kdim * m * x.dtype.itemsize
-            + n * m * jnp.dtype(out_dtype).itemsize + k_eff * kdim * 4,
+            + n * m * jnp.dtype(out_dtype).itemsize
+            + k_eff * kdim * sk_dt.itemsize,
             transcendentals=0,
         ),
         interpret=_interpret_mode(),

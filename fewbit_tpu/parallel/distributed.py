@@ -310,34 +310,55 @@ def _entry_instructions(hlo_text: str):
     return lines
 
 
+def _is_scalar_result(line: str) -> bool:
+    """True when an HLO instruction's result carries no tensor data worth
+    overlapping — a scalar (or tuple of scalars) like the loss/metric pmean.
+    Shape syntax: ``name = f32[] all-reduce(...)`` or tuple
+    ``(f32[], f32[])``; any non-empty dimension list means non-scalar."""
+    import re
+
+    head = line.split(" all-reduce", 1)[0]
+    dims = re.findall(r"[a-z0-9]+\[([0-9,]*)\]", head)
+    return bool(dims) and all(d == "" for d in dims)
+
+
 def assert_collective_compute_overlap(hlo_text: str,
-                                      min_compute_after: int = 2) -> dict:
-    """Assert the scheduled module interleaves collectives with compute.
+                                      min_compute_after: int = 2,
+                                      min_overlap_frac: float = 0.5) -> dict:
+    """Assert the scheduled module interleaves gradient collectives with
+    compute.
 
     Requires a scheduled module (TPU executables; AOT topology compiles
-    included).  Passes when (a) async ``all-reduce-start``/``-done`` pairs
-    exist with compute scheduled between them, or (b) sync all-reduces are
-    scheduled with at least ``min_compute_after`` heavy compute ops
-    (fusions/dots/custom-calls) after the FIRST collective issues — i.e. the
-    collectives do not all trail the compute.  Returns counts for callers to
-    record."""
+    included).  Scalar all-reduces (the loss/metrics pmean — nothing to
+    overlap) are excluded, so the assertion is about the *gradient* ARs.
+    Passes when (a) async ``all-reduce-start``/``-done`` pairs exist with
+    compute scheduled between them, or (b) for sync ARs, at least
+    ``min_overlap_frac`` of the non-scalar all-reduces each have heavy
+    compute (fusions/dots/custom-calls) scheduled after them AND at least
+    ``min_compute_after`` heavy ops follow the first one — i.e. the
+    collectives are issued as operands become ready rather than trailing
+    the compute.  Returns counts for callers to record."""
     if "is_scheduled=true" not in hlo_text:
         raise AssertionError(
             "module is not scheduled — overlap cannot be asserted from it "
             "(compile for a TPU target, e.g. via tpu_aot_mesh)")
     entry = _entry_instructions(hlo_text)
-    starts = [i for i, l in enumerate(entry) if "all-reduce-start" in l]
+    starts = [i for i, l in enumerate(entry) if "all-reduce-start" in l
+              and not _is_scalar_result(l)]
     dones = [i for i, l in enumerate(entry) if "all-reduce-done" in l]
     ars = [i for i, l in enumerate(entry)
-           if "all-reduce" in l and "-start" not in l and "-done" not in l]
+           if "all-reduce" in l and "-start" not in l and "-done" not in l
+           and not _is_scalar_result(l)]
     heavy = [i for i, l in enumerate(entry)
              if any(op in l for op in _HEAVY_OPS)]
     result = {"n_all_reduce": len(ars) + len(starts),
               "async_pairs": len(starts),
               "compute_between_async": 0,
-              "compute_after_first_collective": 0}
+              "compute_after_first_collective": 0,
+              "overlapped_frac": 0.0}
     if not (ars or starts):
-        raise AssertionError("no all-reduce in the scheduled module")
+        raise AssertionError(
+            "no non-scalar all-reduce in the scheduled module")
     if starts and dones:
         between = sum(1 for h in heavy
                       if any(s < h < d for s, d in zip(starts, dones)))
@@ -347,11 +368,16 @@ def assert_collective_compute_overlap(hlo_text: str,
     first = min(ars + starts)
     after = sum(1 for h in heavy if h > first)
     result["compute_after_first_collective"] = after
-    if after < min_compute_after:
+    overlapped = sum(1 for a in (ars + starts)
+                     if any(h > a for h in heavy))
+    frac = overlapped / max(len(ars) + len(starts), 1)
+    result["overlapped_frac"] = round(frac, 3)
+    if after < min_compute_after or frac < min_overlap_frac:
         raise AssertionError(
-            f"only {after} compute ops are scheduled after the first "
-            f"gradient all-reduce (index {first} of {len(entry)}) — the "
-            "collectives trail the compute instead of overlapping it")
+            f"gradient all-reduces trail the compute: {after} heavy ops "
+            f"after the first AR (index {first} of {len(entry)}), "
+            f"{frac:.0%} of {len(ars) + len(starts)} ARs have compute "
+            f"scheduled after them (need >= {min_overlap_frac:.0%})")
     return result
 
 
