@@ -78,6 +78,48 @@ LOOP_ITERS = 20
 AB_PAIRS = 4
 
 
+def probe_clock_state():
+    """Classify the chip's bimodal clock state (docs/BENCHMARKS.md
+    session-state caveat) by timing the reference XLA bf16 matmul
+    (8192x768 @ 768x3072 — the same probe tools/roofline.py brackets
+    with; measured 0.52 ms in the fast state, 1.41 ms in the slow one).
+    Returns {"xla_matmul_ms": t, "state": "fast"|"mid"|"slow"} or None
+    when the relay stalls."""
+    import jax.lax as lax
+
+    x = jax.random.normal(jax.random.key(0), (8192, 768), jnp.bfloat16)
+    w = jax.random.normal(jax.random.key(1), (768, 3072), jnp.bfloat16)
+
+    def body(i, c):
+        y = c @ w
+        patch = (y[:1, :1] * 1e-6).astype(c.dtype)
+        return lax.dynamic_update_slice(c, patch, (0, 0))
+
+    @jax.jit
+    def run(c, n):
+        return lax.fori_loop(0, n, body, c)
+
+    def measure():
+        iters = 50
+        out = run(x, jnp.int32(iters))
+        _ = float(jnp.asarray(out[0, 0]))  # compile + sync
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = run(out, jnp.int32(iters))
+            _ = float(jnp.asarray(out[0, 0]))
+            best = min(best, (time.perf_counter() - t0) / iters)
+        return best
+
+    t = _with_deadline(120, measure)
+    if t is None:
+        return None
+    ms = t * 1e3
+    state = "fast" if ms < 0.8 else ("slow" if ms > 1.1 else "mid")
+    log(f"clock-state probe: XLA bf16 matmul {ms:.3f} ms -> {state}")
+    return {"xla_matmul_ms": round(ms, 3), "state": state}
+
+
 def build(gelu_bits, proj_dim_ratio, batch_size, dtype=jnp.float32):
     from fewbit_tpu.models import (RobertaConfig,
                                    RobertaForSequenceClassification)
@@ -211,50 +253,41 @@ def timed_pair(tag, batch, dtype, time_budget_s=600):
 
 def main():
     log("backend:", jax.default_backend())
+    clock = probe_clock_state()
 
     # Headline: f32 at the largest batch the chip fits in f32.
     headline = None
+    last_exc = None
     for batch in BATCH_LADDER:
         try:
             headline = timed_pair("f32", batch, jnp.float32)
             break
         except Exception as exc:  # noqa: BLE001 — OOM at this batch size
+            last_exc = exc
             log(f"bs={batch} failed ({type(exc).__name__}); trying smaller")
+    if headline is None:
+        log("every batch size in the ladder failed; re-raising the last "
+            "error instead of masking it")
+        raise last_exc
     saving_pct = headline["mem_saving_pct"]
 
     # bf16 rows: where the epilogue overhead is relatively largest, incl.
     # the reference's own bs=128 (fits the 16 GiB chip in bf16).
     extras = []
-    for batch, with_time in ((headline["batch"], False), (128, True)):
+    for batch in (headline["batch"], 128):
         try:
-            if with_time:
-                extras.append(timed_pair("bf16", batch, jnp.bfloat16))
-            else:
-                def mem_only(b):
-                    _, _, _, cv = build(None, None, b, jnp.bfloat16)
-                    mv = measure_mem(cv)
-                    del cv
-                    _, _, _, cf = build(3, 0.2, b, jnp.bfloat16)
-                    mf = measure_mem(cf)
-                    del cf
-                    return {"batch": b, "seq": SEQ, "dtype": "bfloat16",
-                            "vanilla_temp_bytes": mv,
-                            "fewbit_temp_bytes": mf,
-                            "mem_saving_pct":
-                                round(100.0 * (1.0 - mf / mv), 2)}
-                row = _with_deadline(360, mem_only, batch)
-                if row:
-                    log(f"[bf16 bs={batch}] saving {row['mem_saving_pct']}%")
-                    extras.append(row)
+            extras.append(timed_pair("bf16", batch, jnp.bfloat16))
         except Exception as exc:  # noqa: BLE001
             log(f"bf16 bs={batch} failed: {type(exc).__name__}: {exc}")
 
+    clock_end = probe_clock_state()
     print(json.dumps({
         "metric": "roberta_base_train_step_mem_saving",
         "value": saving_pct,
         "unit": "percent",
         "vs_baseline": round(saving_pct / REF_SAVING_PCT, 3),
-        "detail": {"headline_f32": headline, "bf16": extras},
+        "detail": {"clock_state": clock, "clock_state_end": clock_end,
+                   "headline_f32": headline, "bf16": extras},
     }))
 
 

@@ -1,0 +1,52 @@
+"""Flash-attention block-size tuning shared by the RoBERTa/GPT models.
+
+The Pallas TPU flash kernel defaults to 128-wide q/k blocks with
+``block_b=1`` — at long sequence every (batch, head) grid cell runs thin
+``(128, d_head) @ (d_head, 128)`` matmuls, which is exactly the cost the
+round-4 measurement attributed the +44% step-time overhead at seq=1024 to
+(docs/BENCHMARKS.md flash section).  ``resolve_block_sizes`` maps a simple
+``(block_q, block_kv)`` knob — or the per-sequence tuned table measured by
+``tools/tune_flash.py`` on the real chip — onto the kernel's full
+11-field ``BlockSizes``.
+
+Reference: none — the reference library has no attention code at all
+(SURVEY §1 L8); this is a beat-the-reference long-context tool.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+__all__ = ("resolve_block_sizes", "TUNED_BLOCKS")
+
+# Per-sequence-length tuned (block_q, block_kv), measured by
+# tools/tune_flash.py with the interleaved fori-loop protocol on TPU v5e
+# (see docs/BENCHMARKS.md flash section for the sweep table).  Sequences
+# not listed fall back to the kernel's own defaults.
+TUNED_BLOCKS = {
+    1024: (512, 1024),
+    2048: (512, 1024),
+}
+
+
+def resolve_block_sizes(seq_len: int,
+                        blocks: Optional[Tuple[int, int]] = None):
+    """Return a ``fa.BlockSizes`` for ``seq_len``, or None for defaults.
+
+    ``blocks``: explicit ``(block_q, block_kv)`` override from model config;
+    otherwise the tuned table is consulted.  Both values are clamped to the
+    sequence length; the kv block also feeds the major (outer) kv loop so a
+    full-width kv block turns the inner loop into one pass.
+    """
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+    if blocks is None:
+        blocks = TUNED_BLOCKS.get(seq_len)
+    if blocks is None:
+        return None
+    bq, bkv = (min(int(blocks[0]), seq_len), min(int(blocks[1]), seq_len))
+    return fa.BlockSizes(
+        block_q=bq, block_k_major=bkv, block_k=bkv, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bkv, block_k_dkv=bkv,
+        block_q_dkv=bq, block_k_major_dq=bkv, block_k_dq=bkv,
+        block_q_dq=bq)

@@ -24,7 +24,7 @@ the dp x tp machinery works for both families without modification.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -63,6 +63,9 @@ class GPTConfig:
     # flash_attention=True requires attention_dropout == 0 (enforced below,
     # matching RobertaConfig).
     flash_attention: bool = False
+    # Explicit (block_q, block_kv) for the flash kernel; None consults the
+    # per-seq tuned table in models/flash.py (kernel defaults otherwise).
+    flash_blocks: Optional[Tuple[int, int]] = None
     # GPT-2 ties the LM head to the token embedding.
     tie_lm_head: bool = True
 
@@ -118,6 +121,8 @@ class GPTSelfAttention(nn.Module):
         if cfg.flash_attention and jax.default_backend() == "tpu":
             from jax.experimental.pallas.ops.tpu import flash_attention as fa
 
+            from fewbit_tpu.models.flash import resolve_block_sizes
+
             seg = None
             if attention_mask is not None:
                 ids = attention_mask.astype(jnp.int32)
@@ -125,7 +130,8 @@ class GPTSelfAttention(nn.Module):
             ctx = fa.flash_attention(
                 q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
                 v.transpose(0, 2, 1, 3), segment_ids=seg, causal=True,
-                sm_scale=scale)
+                sm_scale=scale,
+                block_sizes=resolve_block_sizes(s, cfg.flash_blocks))
             ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, width)
         else:
             logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)

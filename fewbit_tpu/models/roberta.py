@@ -20,7 +20,7 @@ stay float32).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Optional
+from typing import Any, Callable, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -79,6 +79,9 @@ class RobertaConfig:
     # attention_dropout == 0 (enforced below — a silent train-time behaviour
     # change would otherwise hide in the kernel choice).
     flash_attention: bool = False
+    # Explicit (block_q, block_kv) for the flash kernel; None consults the
+    # per-seq tuned table in models/flash.py (kernel defaults otherwise).
+    flash_blocks: Optional[Tuple[int, int]] = None
 
     def __post_init__(self):
         if self.flash_attention and self.attention_dropout > 0:
@@ -172,6 +175,8 @@ class RobertaSelfAttention(nn.Module):
         if cfg.flash_attention and jax.default_backend() == "tpu":
             from jax.experimental.pallas.ops.tpu import flash_attention as fa
 
+            from fewbit_tpu.models.flash import resolve_block_sizes
+
             seg = None
             if attention_mask is not None:
                 ids = attention_mask.astype(jnp.int32)
@@ -179,7 +184,8 @@ class RobertaSelfAttention(nn.Module):
             ctx = fa.flash_attention(
                 q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
                 v.transpose(0, 2, 1, 3), segment_ids=seg, causal=False,
-                sm_scale=scale)
+                sm_scale=scale,
+                block_sizes=resolve_block_sizes(s, cfg.flash_blocks))
             ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, width)
         else:
             ctx = self._standard_attention(cfg, q, k, v, scale,

@@ -16,7 +16,7 @@ import numpy as np
 __all__ = ("synthetic_glue", "load_glue", "load_tokenized_npz",
            "batches_from_arrays", "real_text_corpus", "real_text_documents",
            "byte_lm_arrays", "byte_lm_batches", "real_pair_arrays",
-           "real_doc_arrays")
+           "real_doc_arrays", "save_token_archive", "load_token_archive")
 
 
 def synthetic_glue(batch_size: int,
@@ -201,8 +201,15 @@ def real_pair_arrays(documents=None, seq_len: int = 128,
     ``<s>=0 pad=1 </s>=2``, byte ``b`` -> token ``b + 3`` (vocab 259);
     layout ``<s> seg1 </s> </s> seg2 </s>`` truncated/padded to
     ``seq_len``.  Returns ``(train, val)`` dicts with ``input_ids`` /
-    ``attention_mask`` / ``labels``; the split is by PAIR (both classes
-    appear in both splits).
+    ``attention_mask`` / ``labels``.
+
+    Split hygiene: the train/val split is by contiguous SEGMENT RANGE
+    within each document — the tail ``val_fraction`` of every document's
+    segments (and the pairs/negatives built from them) forms the val set,
+    so no text segment appears on both sides (an earlier by-pair split
+    leaked segments shared between neighbouring/negative pairs into val,
+    overstating generalization).  Only the single range-boundary pair per
+    document is dropped.
     """
     import re
 
@@ -228,36 +235,42 @@ def real_pair_arrays(documents=None, seq_len: int = 128,
         toks = toks + [1] * (seq_len - len(toks))
         return toks, mask
 
-    ids, masks, labels = [], [], []
-    for d, parts in enumerate(doc_parts):
-        for i in range(len(parts) - 1):
-            ids_m, mask_m = encode(parts[i], parts[i + 1])
-            ids.append(ids_m)
-            masks.append(mask_m)
-            labels.append(1)
-            # Negative: second segment from a different document.
-            d2 = rng.randint(0, len(doc_parts) - 1)
-            if d2 >= d:
-                d2 += 1
-            other = doc_parts[d2]
-            ids_m, mask_m = encode(parts[i],
-                                   other[rng.randint(0, len(other))])
-            ids.append(ids_m)
-            masks.append(mask_m)
-            labels.append(0)
+    # Per-document boundary: segments [0, cut) are train-side, [cut, n)
+    # val-side.  Every document contributes at least one val segment.
+    cuts = [max(min(int(len(p) * (1.0 - val_fraction)), len(p) - 1), 1)
+            for p in doc_parts]
 
-    ids = np.asarray(ids, np.int32)
-    masks = np.asarray(masks, np.int32)
-    labels = np.asarray(labels, np.int32)
-    order = rng.permutation(len(labels))
-    n_val = max(int(len(labels) * val_fraction), 2)
-    val_idx, train_idx = order[:n_val], order[n_val:]
+    def build(side: str):
+        ids, masks, labels = [], [], []
+        for d, parts in enumerate(doc_parts):
+            lo, hi = (0, cuts[d]) if side == "train" else (cuts[d],
+                                                           len(parts))
+            for i in range(lo, hi - 1):
+                ids_m, mask_m = encode(parts[i], parts[i + 1])
+                ids.append(ids_m)
+                masks.append(mask_m)
+                labels.append(1)
+                # Negative: second segment from a different document,
+                # drawn from the SAME side's range so val text never
+                # reaches a train negative (and vice versa).
+                d2 = rng.randint(0, len(doc_parts) - 1)
+                if d2 >= d:
+                    d2 += 1
+                o_lo, o_hi = ((0, cuts[d2]) if side == "train"
+                              else (cuts[d2], len(doc_parts[d2])))
+                if o_hi <= o_lo:
+                    continue
+                other = doc_parts[d2][rng.randint(o_lo, o_hi)]
+                ids_m, mask_m = encode(parts[i], other)
+                ids.append(ids_m)
+                masks.append(mask_m)
+                labels.append(0)
+        order = rng.permutation(len(labels))
+        return {"input_ids": np.asarray(ids, np.int32)[order],
+                "attention_mask": np.asarray(masks, np.int32)[order],
+                "labels": np.asarray(labels, np.int32)[order]}
 
-    def take(idx):
-        return {"input_ids": ids[idx], "attention_mask": masks[idx],
-                "labels": labels[idx]}
-
-    return take(train_idx), take(val_idx)
+    return build("train"), build("val")
 
 
 def real_doc_arrays(documents=None, seq_len: int = 128,
@@ -304,6 +317,60 @@ def real_doc_arrays(documents=None, seq_len: int = 128,
                 "labels": labels[idx]}
 
     return take(train_idx), take(val_idx), int(labels.max()) + 1
+
+
+def save_token_archive(path, splits: Dict[str, Dict[str, np.ndarray]]
+                       ) -> None:
+    """Persist a tokenized dataset with the native stream codec.
+
+    Token ids are small non-negative ints (vocab < 2^17 for RoBERTa, < 2^9
+    for the byte-level tasks), so each field is stream-packed at
+    ``ceil(log2(max + 1))`` bits per element by the threaded host codec
+    (``fewbit_tpu.native.stream_pack`` — the storage role of the
+    reference's CPU ``Codec``, ``/root/reference/fewbit/fewbit/codec.py``
+    analog N1 in SURVEY §2.2) before the npz's deflate pass.  Layout per
+    field: ``{split}.{field}.stream`` (uint8), ``.shape``, ``.width``.
+    Signed fields (e.g. -100 LM label masks) are offset by their minimum,
+    stored in ``.offset``.
+    """
+    from fewbit_tpu import native
+
+    payload = {}
+    for split, fields in splits.items():
+        for field, arr in fields.items():
+            arr = np.asarray(arr)
+            if not np.issubdtype(arr.dtype, np.integer):
+                raise TypeError(f"{split}.{field} is not integer-typed")
+            offset = int(arr.min()) if arr.size else 0
+            offset = min(offset, 0)
+            shifted = (arr.astype(np.int64) - offset).astype(np.uint32)
+            width = max(int(shifted.max()).bit_length(), 1) if arr.size else 1
+            key = f"{split}.{field}"
+            payload[f"{key}.stream"] = native.stream_pack(
+                shifted.reshape(-1), width)
+            payload[f"{key}.shape"] = np.asarray(arr.shape)
+            payload[f"{key}.width"] = np.asarray(width)
+            payload[f"{key}.offset"] = np.asarray(offset)
+    np.savez_compressed(path, **payload)
+
+
+def load_token_archive(path) -> Dict[str, Dict[str, np.ndarray]]:
+    """Inverse of :func:`save_token_archive`; returns int32 arrays."""
+    from fewbit_tpu import native
+
+    out: Dict[str, Dict[str, np.ndarray]] = {}
+    with np.load(path) as npz:
+        keys = {k.rsplit(".", 1)[0] for k in npz.files}
+        for key in sorted(keys):
+            split, field = key.split(".", 1)
+            shape = tuple(int(x) for x in npz[f"{key}.shape"])
+            n = int(np.prod(shape)) if shape else 1
+            codes = native.stream_unpack(npz[f"{key}.stream"], n,
+                                         int(npz[f"{key}.width"]))
+            arr = (codes.astype(np.int64)
+                   + int(npz[f"{key}.offset"])).astype(np.int32)
+            out.setdefault(split, {})[field] = arr.reshape(shape)
+    return out
 
 
 def load_glue(task: str = "mrpc", split: str = "train",

@@ -110,3 +110,101 @@ def test_real_doc_arrays():
         assert (split["input_ids"][pad] == 1).all()
     # every class that appears is a real document index
     assert len(set(train["labels"].tolist())) >= 2
+
+
+def test_pair_split_has_no_segment_leakage():
+    """No encoded text segment may appear in both the train and val pairs
+    (the by-range split's whole point).  Compare the segment-1 byte slices
+    and segment-2 slices across splits."""
+    from fewbit_tpu.train import real_pair_arrays, real_text_documents
+
+    train, val = real_pair_arrays(real_text_documents(), seq_len=64)
+
+    def segments(split):
+        segs = set()
+        for row, mask in zip(split["input_ids"], split["attention_mask"]):
+            toks = row[mask.astype(bool)].tolist()
+            # layout: <s> seg1 </s> </s> seg2 </s>
+            try:
+                first_sep = toks.index(2)
+            except ValueError:
+                continue
+            segs.add(tuple(toks[1:first_sep]))
+            tail = toks[first_sep + 2:]
+            if tail and tail[-1] == 2:
+                tail = tail[:-1]
+            segs.add(tuple(tail))
+        segs.discard(())
+        return segs
+
+    overlap = segments(train) & segments(val)
+    # The only admissible overlap is encoded text that occurs in MORE THAN
+    # ONE distinct source segment (license boilerplate repeated verbatim,
+    # or two different segments colliding on the same truncated byte
+    # prefix) — corpus duplication, not split leakage.  A segment whose
+    # encoded form is unique in the corpus must stay on one side.
+    import re
+
+    half = (64 - 4) // 2
+    seg_count = {}
+    for doc in real_text_documents():
+        for p in re.split(rb"(?<=[.!?:;])\s+|\n\n+", doc):
+            p = p.strip()
+            if len(p) >= 20:
+                key = p[:half]
+                seg_count[key] = seg_count.get(key, 0) + 1
+    for seg in overlap:
+        text = bytes(t - 3 for t in seg if t >= 3)
+        assert seg_count.get(text, 0) >= 2, (
+            f"corpus-unique segment leaks across the split: {text[:60]!r}")
+
+
+def test_token_archive_roundtrip_through_train_step(tmp_path):
+    """save_token_archive/load_token_archive (the native stream codec's
+    storage consumer) must be lossless, smaller than raw int32 storage,
+    and feed a real train step identically to the unpacked arrays."""
+    import jax
+
+    from fewbit_tpu.train import (TrainConfig, batches_from_arrays,
+                                  create_train_state, load_token_archive,
+                                  make_train_step, real_doc_arrays,
+                                  save_token_archive)
+
+    train, val, n_cls = real_doc_arrays(seq_len=32)
+    path = tmp_path / "docs.npz"
+    save_token_archive(path, {"train": train, "validation": val})
+    loaded = load_token_archive(path)
+
+    for split, ref in (("train", train), ("validation", val)):
+        for field, arr in ref.items():
+            np.testing.assert_array_equal(loaded[split][field], arr)
+
+    raw_bytes = sum(a.size * 4 for s in (train, val) for a in s.values())
+    assert path.stat().st_size < raw_bytes / 2  # 9-bit vocab ≪ int32
+
+    # Signed fields (LM -100 masks) survive too.
+    lm = {"labels": np.asarray([[-100, 5, 7], [3, -100, 2]], np.int32)}
+    save_token_archive(tmp_path / "lm.npz", {"train": lm})
+    np.testing.assert_array_equal(
+        load_token_archive(tmp_path / "lm.npz")["train"]["labels"],
+        lm["labels"])
+
+    # Identical first train step from packed vs unpacked source.
+    from fewbit_tpu.models import (RobertaConfig,
+                                   RobertaForSequenceClassification)
+
+    cfg = RobertaConfig(vocab_size=259, hidden_size=32, num_layers=1,
+                        num_heads=2, intermediate_size=64,
+                        max_position_embeddings=34, num_labels=n_cls,
+                        hidden_dropout=0.0, attention_dropout=0.0,
+                        gelu_bits=3, proj_dim_ratio=0.5)
+    model = RobertaForSequenceClassification(cfg)
+    losses = []
+    for source in (train, loaded["train"]):
+        batch = next(batches_from_arrays(source, 8))
+        state = create_train_state(
+            model, TrainConfig(total_steps=2, learning_rate=1e-4), batch)
+        step = jax.jit(make_train_step(model))
+        _, metrics = step(state, batch, jax.random.key(0))
+        losses.append(float(metrics["loss"]))
+    assert losses[0] == losses[1]
