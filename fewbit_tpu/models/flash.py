@@ -20,12 +20,16 @@ from typing import Optional, Tuple
 __all__ = ("resolve_block_sizes", "TUNED_BLOCKS")
 
 # Per-sequence-length tuned (block_q, block_kv), measured by
-# tools/tune_flash.py with the interleaved fori-loop protocol on TPU v5e
-# (see docs/BENCHMARKS.md flash section for the sweep table).  Sequences
-# not listed fall back to the kernel's own defaults.
+# tools/tune_flash.py with the bracketed fori-loop protocol on TPU v5e
+# (artifacts/tune_flash_r05.jsonl; docs/BENCHMARKS.md flash section).
+# Attention fwd+bwd at bs=8/heads=12/d=64: seq=1024 default 7.8 ms ->
+# 2.81 ms at (1024, 1024); seq=2048 default 27.6 ms -> 6.64 ms.  Bigger
+# blocks win monotonically up to the full sequence at these lengths
+# (fewer grid cells, fatter MXU matmuls).  Sequences not listed fall
+# back to the kernel's own defaults.
 TUNED_BLOCKS = {
-    1024: (512, 1024),
-    2048: (512, 1024),
+    1024: (1024, 1024),
+    2048: (1024, 1024),
 }
 
 

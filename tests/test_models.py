@@ -199,3 +199,18 @@ def test_flash_attention_requires_zero_attention_dropout():
     cfg = RobertaConfig(**{**TINY.__dict__, "flash_attention": True,
                            "attention_dropout": 0.0})
     assert cfg.flash_attention
+
+
+def test_flash_block_size_resolution():
+    """resolve_block_sizes: tuned table at long seq, None (kernel defaults)
+    elsewhere, explicit override wins, clamped to the sequence length."""
+    from fewbit_tpu.models.flash import TUNED_BLOCKS, resolve_block_sizes
+
+    assert resolve_block_sizes(128) is None  # headline seq: defaults
+    bs = resolve_block_sizes(1024)
+    assert bs is not None
+    assert (bs.block_q, bs.block_k) == TUNED_BLOCKS[1024]
+    assert bs.block_k_major == bs.block_k
+    # explicit override beats the table and clamps to seq
+    bs2 = resolve_block_sizes(256, (512, 4096))
+    assert bs2.block_q == 256 and bs2.block_k == 256
