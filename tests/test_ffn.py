@@ -192,6 +192,40 @@ class TestPallasParity:
                                    atol=1e-3, rtol=1e-4)
 
 
+    def test_bf16_model_stores_bf16_sketches(self, monkeypatch):
+        """Round-5 sketch-dtype policy through the kernels (interpret mode):
+        bf16 inputs -> bf16 sketch outputs from fused_dense_act_sketch,
+        fused_matmul_lut_backward, and fused_matmul_input_sketch; f32
+        inputs keep f32 sketches."""
+        from fewbit_tpu.functional.ffn import _signs
+        from fewbit_tpu.functional.activations import resolve_activation
+        from fewbit_tpu.ops import pallas_kernels as pk
+
+        monkeypatch.setenv("FEWBIT_TPU_NATIVE", "interpret")
+        n, kdim, m = 1024, 256, 512
+        rng = np.random.RandomState(7)
+        spec, b_arr, v_arr = resolve_activation("gelu", bits=3)
+        sigma = _signs(jax.random.key(1), n)
+        k_eff = pk.countsketch_aligned_keff(n, 256)
+        for dt in (jnp.float32, jnp.bfloat16):
+            want = pk.sketch_dtype(dt)
+            x = jnp.asarray(rng.randn(n, kdim), dt)
+            wu = jnp.asarray(rng.randn(kdim, m) * 0.05, dt)
+            y, packed, sk = pk.fused_dense_act_sketch(
+                spec, x, wu, None, b_arr, sigma, k_eff)
+            assert sk.dtype == want, dt
+            g = jnp.asarray(rng.randn(n, kdim), dt)
+            wt = jnp.asarray(rng.randn(kdim, m) * 0.05, dt)
+            dz, sk2, db = pk.fused_matmul_lut_backward(
+                spec, packed, v_arr, g, wt, sigma, k_eff,
+                sk_dtype=pk.sketch_dtype(dt))
+            assert sk2.dtype == want and db.dtype == jnp.float32
+            out = pk.fused_matmul_input_sketch(
+                x, jnp.asarray(rng.randn(kdim, 512) * 0.05, dt), None,
+                sigma, 512)
+            assert out is not None and out[1].dtype == want
+
+
 class TestModule:
 
     def test_module(self):

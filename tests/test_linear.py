@@ -333,3 +333,54 @@ class TestFusedInputSketch:
             sk, (x * sigma[:, None]).reshape(-1, k_eff, kdim).sum(0),
             rtol=1e-5, atol=1e-4)
         np.testing.assert_allclose(cs, x.sum(0), rtol=1e-4, atol=5e-3)
+
+
+class TestSketchDtypePolicy:
+    """bf16 models store bf16 sketch residuals (round-5 policy); f32 models
+    keep f32.  Pinned here so a refactor cannot silently revert the bf16
+    memory saving the policy buys (docs/BENCHMARKS.md bf16 section)."""
+
+    def test_policy_function(self):
+        from fewbit_tpu.ops.pallas_kernels import sketch_dtype
+
+        assert sketch_dtype(jnp.float32) == jnp.float32.dtype
+        assert sketch_dtype(jnp.bfloat16) == jnp.bfloat16.dtype
+        assert sketch_dtype(jnp.dtype("bfloat16")) == jnp.bfloat16.dtype
+
+    def test_countsketch_signed_storage_and_accumulation(self):
+        from fewbit_tpu.functional.linear import _countsketch_signed
+
+        rng = np.random.RandomState(3)
+        m32 = jnp.asarray(rng.randn(64, 16), jnp.float32)
+        sig = jnp.asarray(rng.choice([-1.0, 1.0], 64), jnp.float32)
+        out32 = _countsketch_signed(m32, sig, 16)
+        assert out32.dtype == jnp.float32
+        outbf = _countsketch_signed(m32.astype(jnp.bfloat16), sig, 16)
+        assert outbf.dtype == jnp.bfloat16
+        # f32 accumulation: the bf16 result tracks the f32 one closely.
+        np.testing.assert_allclose(outbf.astype(jnp.float32), out32,
+                                   rtol=2e-2, atol=2e-2)
+        # explicit override (used by the ffn fallback path)
+        forced = _countsketch_signed(m32, sig, 16, out_dtype=jnp.bfloat16)
+        assert forced.dtype == jnp.bfloat16
+
+    def test_grp_residual_dtype_follows_model_dtype(self):
+        from fewbit_tpu.functional.linear import linear_grp_native
+
+        rng = np.random.RandomState(4)
+        key = jax.random.key(0)
+        for dt, want in ((jnp.float32, jnp.float32),
+                         (jnp.bfloat16, jnp.bfloat16)):
+            x = jnp.asarray(rng.randn(256, 32), dt)
+            kern = jnp.asarray(rng.randn(32, 48) * 0.1, dt)
+            _, vjp = jax.vjp(
+                lambda kk: linear_grp_native(x, kk, None, key,
+                                             proj_dim_ratio=0.25,
+                                             matmul="countsketch"), kern)
+            sketches = [l for l in jax.tree_util.tree_leaves(vjp)
+                        if l.ndim == 2 and l.shape[0] < 256]
+            assert sketches, "no sketch residual found in the vjp closure"
+            assert all(s.dtype == want for s in sketches)
+            # gradient comes back in the kernel dtype either way
+            (gk,) = vjp(jnp.ones((256, 48), dt))[:1]
+            assert gk.dtype == dt
