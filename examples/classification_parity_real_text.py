@@ -119,6 +119,13 @@ def pretrain_backbone(steps, batch=32, lr=3e-4, seed=0):
     the same objective family the reference's MRPC recipe inherits from
     pretrained RoBERTa, scaled to this environment.  Returns the
     ``roberta`` parameter subtree.
+
+    Scope note: this is IN-CORPUS pretraining — the raw windows include
+    text that later lands on the val side of the pair split.  The pair
+    LABELS (consecutive-vs-different-document) are never seen, so the
+    fine-tune comparison across configurations stays fair (all configs
+    share the same encoder), but the pair task's absolute val accuracy
+    should be read as in-domain, not held-out-domain, generalization.
     """
     import flax.linen as nn
     import jax
@@ -138,10 +145,13 @@ def pretrain_backbone(steps, batch=32, lr=3e-4, seed=0):
                 ids, jnp.ones_like(ids), deterministic=deterministic)
             return nn.Dense(VOCAB, name="lm_head")(h)
 
-    text = np.frombuffer(real_text_corpus(), dtype=np.uint8)
+    # Widen BEFORE the +3 shift: a uint8 + 3 wraps bytes >= 253 onto the
+    # special tokens 0/1/2 (ASCII corpora never hit this, but raw files
+    # are read unvalidated).
+    text = np.frombuffer(real_text_corpus(), dtype=np.uint8).astype(np.int32)
     n_win = (len(text) - 1) // (SEQ - 1)
     windows = np.stack([text[i * (SEQ - 1):(i + 1) * (SEQ - 1)] + 3
-                        for i in range(n_win)]).astype(np.int32)
+                        for i in range(n_win)])
     windows = np.concatenate(
         [np.zeros((n_win, 1), np.int32), windows], axis=1)  # <s> prefix
 

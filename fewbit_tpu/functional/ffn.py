@@ -51,6 +51,7 @@ import jax.numpy as jnp
 from fewbit_tpu.functional.activations import resolve_activation
 from fewbit_tpu.functional.linear import (_countsketch_partition,
                                           _countsketch_signed,
+                                          _dot_acc_f32 as _dot_f32,
                                           _int_zero_cot, calc_proj_dim)
 from fewbit_tpu.ops.activations import _use_pallas, apply_lut
 from fewbit_tpu.ops.bitpack import pack_codes, unpack_codes
@@ -80,15 +81,6 @@ def _keff(n: int, k: int) -> int:
         return aligned
     part = _countsketch_partition(n, k)
     return part[1] if part is not None else min(k, n)
-
-
-def _dot_f32(a: jax.Array, b: jax.Array) -> jax.Array:
-    """Matmul with an f32 accumulator regardless of operand dtype (operands
-    promoted to a common dtype first — bf16 sketches contract natively)."""
-    dt = jnp.promote_types(a.dtype, b.dtype)
-    return jax.lax.dot_general(a.astype(dt), b.astype(dt),
-                               (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
 
 
 def _pallas_ok(cfg, n: int, kdim: int, m: int, h: int, dtype) -> bool:

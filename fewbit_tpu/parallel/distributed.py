@@ -345,7 +345,10 @@ def assert_collective_compute_overlap(hlo_text: str,
     entry = _entry_instructions(hlo_text)
     starts = [i for i, l in enumerate(entry) if "all-reduce-start" in l
               and not _is_scalar_result(l)]
-    dones = [i for i, l in enumerate(entry) if "all-reduce-done" in l]
+    # Filter dones symmetrically: a scalar pmean's done would otherwise
+    # mis-pair with a gradient start in the zip below.
+    dones = [i for i, l in enumerate(entry) if "all-reduce-done" in l
+             and not _is_scalar_result(l)]
     ars = [i for i, l in enumerate(entry)
            if "all-reduce" in l and "-start" not in l and "-done" not in l
            and not _is_scalar_result(l)]

@@ -236,8 +236,10 @@ def real_pair_arrays(documents=None, seq_len: int = 128,
         return toks, mask
 
     # Per-document boundary: segments [0, cut) are train-side, [cut, n)
-    # val-side.  Every document contributes at least one val segment.
-    cuts = [max(min(int(len(p) * (1.0 - val_fraction)), len(p) - 1), 1)
+    # val-side.  Documents with >= 3 segments contribute at least TWO val
+    # segments (one val positive needs a consecutive pair), so the val set
+    # cannot come out empty for any corpus that passes the >=2-docs check.
+    cuts = [max(min(int(len(p) * (1.0 - val_fraction)), len(p) - 2), 1)
             for p in doc_parts]
 
     def build(side: str):
@@ -265,6 +267,11 @@ def real_pair_arrays(documents=None, seq_len: int = 128,
                 ids.append(ids_m)
                 masks.append(mask_m)
                 labels.append(0)
+        if not labels:
+            raise ValueError(
+                f"the {side} split came out empty — every document has too "
+                "few segments for a by-range split; lower min_segment or "
+                "provide longer documents")
         order = rng.permutation(len(labels))
         return {"input_ids": np.asarray(ids, np.int32)[order],
                 "attention_mask": np.asarray(masks, np.int32)[order],

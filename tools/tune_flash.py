@@ -13,7 +13,6 @@ line per (seq, combo).  Winners land in
 """
 
 import argparse
-import functools
 import json
 import sys
 import time
