@@ -25,8 +25,11 @@ __all__ = ("resolve_block_sizes", "TUNED_BLOCKS")
 # Attention fwd+bwd at bs=8/heads=12/d=64: seq=1024 default 7.8 ms ->
 # 2.81 ms at (1024, 1024); seq=2048 default 27.6 ms -> 6.64 ms.  Bigger
 # blocks win monotonically up to the full sequence at these lengths
-# (fewer grid cells, fatter MXU matmuls).  Sequences not listed fall
-# back to the kernel's own defaults.
+# (fewer grid cells, fatter MXU matmuls).  The CAUSAL kernel (GPT) was
+# swept separately and picks the same winner (0.48x/0.33x of default at
+# 1024/2048) — the bigger-block win beats the finer-grained masked-block
+# skipping smaller blocks would allow, so one table serves both kernels.
+# Sequences not listed fall back to the kernel's own defaults.
 TUNED_BLOCKS = {
     1024: (1024, 1024),
     2048: (1024, 1024),

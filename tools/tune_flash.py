@@ -56,7 +56,7 @@ def timed_loop(body, carry, iters, rounds=3):
     return best
 
 
-def attention_body(blocks, seq, batch):
+def attention_body(blocks, seq, batch, causal=False):
     from fewbit_tpu.models.flash import resolve_block_sizes
 
     from jax.experimental.pallas.ops.tpu import flash_attention as fa
@@ -69,7 +69,7 @@ def attention_body(blocks, seq, batch):
 
     def fwd_bwd(q):
         def f(qq):
-            return fa.flash_attention(qq, k, v, causal=False,
+            return fa.flash_attention(qq, k, v, causal=causal,
                                       sm_scale=D_HEAD ** -0.5,
                                       block_sizes=bs).sum()
 
@@ -90,17 +90,20 @@ def main():
     ap.add_argument("--seqs", default="1024,2048")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--causal", action="store_true",
+                    help="sweep the causal (GPT) kernel instead")
     args = ap.parse_args()
     log("backend:", jax.default_backend())
 
     for seq in (int(s) for s in args.seqs.split(",")):
-        base_body, base_q = attention_body(None, seq, args.batch)
+        base_body, base_q = attention_body(None, seq, args.batch,
+                                           args.causal)
         for combo in COMBOS:
             if combo is None:
                 continue
             if combo[0] > seq or combo[1] > seq:
                 continue
-            body, q0 = attention_body(combo, seq, args.batch)
+            body, q0 = attention_body(combo, seq, args.batch, args.causal)
             try:
                 t0 = timed_loop(base_body, base_q, args.iters)
                 t = timed_loop(body, q0, args.iters)
@@ -111,7 +114,7 @@ def main():
                       flush=True)
                 continue
             base = (t0 + t1) / 2
-            row = {"seq": seq, "batch": args.batch,
+            row = {"seq": seq, "batch": args.batch, "causal": args.causal,
                    "blocks": list(combo),
                    "ms": round(t * 1e3, 3),
                    "default_ms": round(base * 1e3, 3),
