@@ -17,7 +17,43 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
-__all__ = ("resolve_block_sizes", "TUNED_BLOCKS")
+__all__ = ("resolve_block_sizes", "use_flash", "TUNED_BLOCKS",
+           "FLASH_AUTO_MIN_SEQ")
+
+# Measured crossover (docs/BENCHMARKS.md flash section): at seq=128 the
+# flash kernel loses on both axes; at seq>=1024 with tuned blocks it wins
+# both (−47% memory, −50% time at bs=8/seq=1024).  The sweep has no rows
+# between 128 and 1024; 1024 is the conservative auto threshold.
+FLASH_AUTO_MIN_SEQ = 1024
+
+
+def use_flash(setting, seq_len: int, attention_dropout: float,
+              backend: Optional[str] = None) -> bool:
+    """Resolve a ``flash_attention`` config value at trace time.
+
+    ``setting``: False (never), True (always — config validation already
+    guaranteed ``attention_dropout == 0``), or ``"auto"`` — enable exactly
+    where the measurements say flash wins both axes: on TPU, at
+    ``seq_len >= FLASH_AUTO_MIN_SEQ``, and only when
+    ``attention_dropout == 0`` (the kernel cannot apply dropout; "auto"
+    silently keeps the standard path rather than changing training
+    semantics).
+    """
+    if setting is False or setting is None:
+        return False
+    if backend is None:
+        import jax
+
+        backend = jax.default_backend()
+    if backend != "tpu":
+        return False
+    if setting is True:
+        return True
+    if setting == "auto":
+        return (attention_dropout == 0.0
+                and seq_len >= FLASH_AUTO_MIN_SEQ)
+    raise ValueError(
+        f"flash_attention must be True, False, or 'auto'; got {setting!r}")
 
 # Per-sequence-length tuned (block_q, block_kv), measured by
 # tools/tune_flash.py with the bracketed fori-loop protocol on TPU v5e

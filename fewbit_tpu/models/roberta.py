@@ -77,18 +77,22 @@ class RobertaConfig:
     # only; other backends silently use the standard path.  The flash kernel
     # has no dropout inside, so flash_attention=True requires
     # attention_dropout == 0 (enforced below — a silent train-time behaviour
-    # change would otherwise hide in the kernel choice).
-    flash_attention: bool = False
+    # change would otherwise hide in the kernel choice).  "auto" enables it
+    # exactly where the measurements say it wins both axes: TPU, seq >=
+    # models.flash.FLASH_AUTO_MIN_SEQ, attention_dropout == 0.
+    flash_attention: Any = False  # False | True | "auto"
     # Explicit (block_q, block_kv) for the flash kernel; None consults the
     # per-seq tuned table in models/flash.py (kernel defaults otherwise).
     flash_blocks: Optional[Tuple[int, int]] = None
 
     def __post_init__(self):
-        if self.flash_attention and self.attention_dropout > 0:
+        if self.flash_attention is True and self.attention_dropout > 0:
             raise ValueError(
                 "flash_attention=True cannot apply attention dropout (the "
                 "flash kernel never materialises attention probabilities); "
-                "set attention_dropout=0.0 explicitly to opt in")
+                "set attention_dropout=0.0 explicitly to opt in, or use "
+                "flash_attention='auto' to keep the standard path when "
+                "dropout is on")
 
     @property
     def head_dim(self) -> int:
@@ -172,10 +176,10 @@ class RobertaSelfAttention(nn.Module):
         q, k, v = split(q), split(k), split(v)
         scale = cfg.head_dim ** -0.5
 
-        if cfg.flash_attention and jax.default_backend() == "tpu":
-            from jax.experimental.pallas.ops.tpu import flash_attention as fa
+        from fewbit_tpu.models.flash import resolve_block_sizes, use_flash
 
-            from fewbit_tpu.models.flash import resolve_block_sizes
+        if use_flash(cfg.flash_attention, s, cfg.attention_dropout):
+            from jax.experimental.pallas.ops.tpu import flash_attention as fa
 
             seg = None
             if attention_mask is not None:

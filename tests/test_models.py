@@ -214,3 +214,47 @@ def test_flash_block_size_resolution():
     # explicit override beats the table and clamps to seq
     bs2 = resolve_block_sizes(256, (512, 4096))
     assert bs2.block_q == 256 and bs2.block_k == 256
+
+
+def test_flash_auto_resolution():
+    """flash_attention='auto' enables the kernel exactly where measured to
+    win (TPU, long seq, no attention dropout) and never errors on
+    dropout>0 configs (it keeps the standard path instead)."""
+    from fewbit_tpu.models import GPTConfig, RobertaConfig
+    from fewbit_tpu.models.flash import FLASH_AUTO_MIN_SEQ, use_flash
+
+    assert use_flash(True, 128, 0.0, backend="tpu")
+    assert not use_flash(True, 4096, 0.0, backend="cpu")
+    assert not use_flash(False, 4096, 0.0, backend="tpu")
+    assert use_flash("auto", FLASH_AUTO_MIN_SEQ, 0.0, backend="tpu")
+    assert not use_flash("auto", FLASH_AUTO_MIN_SEQ - 1, 0.0, backend="tpu")
+    assert not use_flash("auto", FLASH_AUTO_MIN_SEQ, 0.1, backend="tpu")
+    assert not use_flash("auto", FLASH_AUTO_MIN_SEQ, 0.0, backend="cpu")
+    with pytest.raises(ValueError):
+        use_flash("always", 128, 0.0, backend="tpu")
+
+    # auto + dropout is a valid config (standard path), True + dropout is
+    # an error (it would silently drop the dropout).
+    for cls in (RobertaConfig, GPTConfig):
+        cls(flash_attention="auto")  # default dropout > 0: fine
+        with pytest.raises(ValueError):
+            cls(flash_attention=True)
+
+    # the auto model still runs (standard path on CPU) end-to-end
+    import jax
+    import jax.numpy as jnp
+
+    cfg = RobertaConfig(vocab_size=64, hidden_size=32, num_layers=1,
+                        num_heads=2, intermediate_size=64,
+                        max_position_embeddings=18,
+                        flash_attention="auto", hidden_dropout=0.0,
+                        attention_dropout=0.0)
+    from fewbit_tpu.models import RobertaForSequenceClassification
+
+    model = RobertaForSequenceClassification(cfg)
+    ids = jnp.ones((2, 16), jnp.int32)
+    params = model.init({"params": jax.random.key(0),
+                         "sketch": jax.random.key(0)}, ids)["params"]
+    logits = model.apply({"params": params}, ids,
+                         rngs={"sketch": jax.random.key(1)})
+    assert logits.shape == (2, 2)
