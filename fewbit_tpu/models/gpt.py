@@ -71,6 +71,9 @@ class GPTConfig:
     tie_lm_head: bool = True
 
     def __post_init__(self):
+        from fewbit_tpu.models.flash import validate_flash_setting
+
+        validate_flash_setting(self.flash_attention)
         if self.flash_attention is True and self.attention_dropout > 0:
             raise ValueError(
                 "flash_attention=True cannot apply attention dropout (the "
@@ -123,7 +126,8 @@ class GPTSelfAttention(nn.Module):
 
         from fewbit_tpu.models.flash import resolve_block_sizes, use_flash
 
-        if use_flash(cfg.flash_attention, s, cfg.attention_dropout):
+        if use_flash(cfg.flash_attention, s, cfg.attention_dropout,
+                     deterministic=deterministic):
             from jax.experimental.pallas.ops.tpu import flash_attention as fa
 
             seg = None

@@ -236,11 +236,17 @@ def real_pair_arrays(documents=None, seq_len: int = 128,
         return toks, mask
 
     # Per-document boundary: segments [0, cut) are train-side, [cut, n)
-    # val-side.  Documents with >= 3 segments contribute at least TWO val
-    # segments (one val positive needs a consecutive pair), so the val set
-    # cannot come out empty for any corpus that passes the >=2-docs check.
-    cuts = [max(min(int(len(p) * (1.0 - val_fraction)), len(p) - 2), 1)
-            for p in doc_parts]
+    # val-side.  Documents with >= 4 segments contribute at least one val
+    # PAIR (two tail segments) and at least one train pair; a 3-segment
+    # document keeps its single train pair and contributes one val segment
+    # (usable only as a negative partner); 2-segment documents contribute
+    # one train pair.  A corpus where a whole split still ends up empty
+    # (e.g. every document has < 4 segments for val) raises below.
+    def _cut(n_seg: int) -> int:
+        hi = n_seg - 2 if n_seg >= 4 else n_seg - 1
+        return max(min(int(n_seg * (1.0 - val_fraction)), hi), 1)
+
+    cuts = [_cut(len(p)) for p in doc_parts]
 
     def build(side: str):
         ids, masks, labels = [], [], []
@@ -269,9 +275,11 @@ def real_pair_arrays(documents=None, seq_len: int = 128,
                 labels.append(0)
         if not labels:
             raise ValueError(
-                f"the {side} split came out empty — every document has too "
-                "few segments for a by-range split; lower min_segment or "
-                "provide longer documents")
+                f"the {side} split came out empty — no document has enough "
+                f"segments (>= {4 if side == 'val' else 2} after the "
+                "min_segment filter) to contribute a pair to it; provide "
+                "longer documents or a smaller min_segment ONLY if the "
+                "documents contain shorter sentences to recover")
         order = rng.permutation(len(labels))
         return {"input_ids": np.asarray(ids, np.int32)[order],
                 "attention_mask": np.asarray(masks, np.int32)[order],

@@ -208,3 +208,27 @@ def test_token_archive_roundtrip_through_train_step(tmp_path):
         _, metrics = step(state, batch, jax.random.key(0))
         losses.append(float(metrics["loss"]))
     assert losses[0] == losses[1]
+
+
+def test_pair_split_short_documents():
+    """Cut policy: >=4-segment docs feed both splits; a 3-segment doc keeps
+    its train pair; an all-short corpus raises instead of returning a
+    malformed empty array."""
+    from fewbit_tpu.train import real_pair_arrays
+
+    # Two docs of 5 segments each: both splits non-empty.
+    seg = [b"Alpha bravo charlie delta echo foxtrot golf.",
+           b"Hotel india juliet kilo lima mike november.",
+           b"Oscar papa quebec romeo sierra tango uniform.",
+           b"Victor whiskey xray yankee zulu alpha bravo.",
+           b"Charlie delta echo foxtrot golf hotel india."]
+    docs = [b" ".join(seg), b" ".join(reversed(seg))]
+    train, val = real_pair_arrays(docs, seq_len=64, min_segment=20)
+    assert len(train["labels"]) > 0 and len(val["labels"]) > 0
+    assert train["input_ids"].ndim == 2 and val["input_ids"].ndim == 2
+
+    # 3-segment docs: train pairs exist (regression: the r5 len-2 cap must
+    # not starve the train side), val raises (no doc can give a val pair).
+    short = [b" ".join(seg[:3]), b" ".join(seg[2:])]
+    with pytest.raises(ValueError, match="val split came out empty"):
+        real_pair_arrays(short, seq_len=64, min_segment=20)

@@ -230,15 +230,26 @@ def test_flash_auto_resolution():
     assert not use_flash("auto", FLASH_AUTO_MIN_SEQ - 1, 0.0, backend="tpu")
     assert not use_flash("auto", FLASH_AUTO_MIN_SEQ, 0.1, backend="tpu")
     assert not use_flash("auto", FLASH_AUTO_MIN_SEQ, 0.0, backend="cpu")
+    # deterministic (eval) traces apply no dropout, so auto engages even
+    # with a training dropout configured.
+    assert use_flash("auto", FLASH_AUTO_MIN_SEQ, 0.1, backend="tpu",
+                     deterministic=True)
+    # invalid values fail EVERYWHERE, including off-TPU (a typo must not
+    # silently disable flash).
     with pytest.raises(ValueError):
         use_flash("always", 128, 0.0, backend="tpu")
+    with pytest.raises(ValueError):
+        use_flash("Auto", 4096, 0.0, backend="cpu")
 
-    # auto + dropout is a valid config (standard path), True + dropout is
-    # an error (it would silently drop the dropout).
+    # auto + dropout is a valid config (standard path in training), True +
+    # dropout is an error (it would silently drop the dropout), and typos
+    # fail at construction.
     for cls in (RobertaConfig, GPTConfig):
         cls(flash_attention="auto")  # default dropout > 0: fine
         with pytest.raises(ValueError):
             cls(flash_attention=True)
+        with pytest.raises(ValueError):
+            cls(flash_attention="Auto", attention_dropout=0.0)
 
     # the auto model still runs (standard path on CPU) end-to-end
     import jax

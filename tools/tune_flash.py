@@ -109,7 +109,9 @@ def main():
                 t = timed_loop(body, q0, args.iters)
                 t1 = timed_loop(base_body, base_q, args.iters)
             except Exception as exc:  # noqa: BLE001 — combo may not compile
-                print(json.dumps({"seq": seq, "blocks": list(combo),
+                print(json.dumps({"seq": seq, "batch": args.batch,
+                                  "causal": args.causal,
+                                  "blocks": list(combo),
                                   "error": f"{type(exc).__name__}: {exc}"}),
                       flush=True)
                 continue
