@@ -26,7 +26,7 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 
 
 def run(config_name, gelu_bits, proj_dim_ratio, sketch, steps, seq=128,
-        batch=32):
+        batch=32, dtype="float32"):
     import jax
     import jax.numpy as jnp
 
@@ -40,7 +40,7 @@ def run(config_name, gelu_bits, proj_dim_ratio, sketch, steps, seq=128,
                     num_heads=4, intermediate_size=512,
                     max_position_embeddings=seq,
                     gelu_bits=gelu_bits, proj_dim_ratio=proj_dim_ratio,
-                    sketch=sketch)
+                    sketch=sketch, dtype=jnp.dtype(dtype))
     model = GPTForCausalLM(cfg)
 
     train_ids, val_ids = byte_lm_arrays(real_text_corpus(), seq_len=seq)
@@ -85,6 +85,10 @@ def main():
     parser.add_argument("--steps", type=int, default=400)
     parser.add_argument("--out", type=Path, default=None,
                         help="append a markdown section to this file")
+    parser.add_argument("--dtype", default="float32",
+                        choices=("float32", "bfloat16"),
+                        help="activation dtype (bf16 is the recommended "
+                             "TPU configuration)")
     args = parser.parse_args()
 
     configs = [
@@ -94,7 +98,7 @@ def main():
         ("randomized 20% (srht)", None, 0.2, "srht"),
         ("gelu 3-bit + rand 20%", 3, 0.2, "countsketch"),
     ]
-    rows = [(name,) + run(name, gb, pr, sk, args.steps)
+    rows = [(name,) + run(name, gb, pr, sk, args.steps, dtype=args.dtype)
             for name, gb, pr, sk in configs]
 
     if args.out:
