@@ -20,10 +20,11 @@ from typing import Optional, Tuple
 __all__ = ("resolve_block_sizes", "use_flash", "TUNED_BLOCKS",
            "FLASH_AUTO_MIN_SEQ")
 
-# Measured crossover (docs/BENCHMARKS.md flash section): at seq=128 the
-# flash kernel loses on both axes; at seq>=1024 with tuned blocks it wins
-# both (−47% memory, −50% time at bs=8/seq=1024).  The sweep has no rows
-# between 128 and 1024; 1024 is the conservative auto threshold.
+# Measured crossover (docs/BENCHMARKS.md flash section,
+# artifacts/flash_crossover_r05.txt): at the model level seq=128 loses on
+# both axes; the attention-only micro sweep shows flash with full-seq
+# blocks still 1.16-1.19x the standard einsum at seq=256/512 and 0.72x
+# at seq=1024 — so 1024 is the measured threshold, not a guess.
 FLASH_AUTO_MIN_SEQ = 1024
 
 
