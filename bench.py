@@ -85,33 +85,15 @@ def probe_clock_state():
     with; measured 0.52 ms in the fast state, 1.41 ms in the slow one).
     Returns {"xla_matmul_ms": t, "state": "fast"|"mid"|"slow"} or None
     when the relay stalls."""
-    import jax.lax as lax
+    from tools.timing import timed_loop, touch
 
     x = jax.random.normal(jax.random.key(0), (8192, 768), jnp.bfloat16)
     w = jax.random.normal(jax.random.key(1), (768, 3072), jnp.bfloat16)
 
     def body(i, c):
-        y = c @ w
-        patch = (y[:1, :1] * 1e-6).astype(c.dtype)
-        return lax.dynamic_update_slice(c, patch, (0, 0))
+        return touch(c, c @ w)
 
-    @jax.jit
-    def run(c, n):
-        return lax.fori_loop(0, n, body, c)
-
-    def measure():
-        iters = 50
-        out = run(x, jnp.int32(iters))
-        _ = float(jnp.asarray(out[0, 0]))  # compile + sync
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            out = run(out, jnp.int32(iters))
-            _ = float(jnp.asarray(out[0, 0]))
-            best = min(best, (time.perf_counter() - t0) / iters)
-        return best
-
-    t = _with_deadline(120, measure)
+    t = _with_deadline(120, lambda: timed_loop(body, x))
     if t is None:
         return None
     ms = t * 1e3

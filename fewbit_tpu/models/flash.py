@@ -17,8 +17,8 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
-__all__ = ("resolve_block_sizes", "use_flash", "TUNED_BLOCKS",
-           "FLASH_AUTO_MIN_SEQ")
+__all__ = ("resolve_block_sizes", "use_flash", "auto_blocks",
+           "TUNED_BLOCKS", "FLASH_AUTO_MIN_SEQ")
 
 # Measured crossover (docs/BENCHMARKS.md flash section,
 # artifacts/flash_crossover_r05.txt): at the model level seq=128 loses on
@@ -64,7 +64,8 @@ def use_flash(setting, seq_len: int, attention_dropout: float,
     if setting is True:
         return True
     return ((deterministic or attention_dropout == 0.0)
-            and seq_len >= FLASH_AUTO_MIN_SEQ)
+            and seq_len >= FLASH_AUTO_MIN_SEQ
+            and auto_blocks(seq_len) is not None)
 
 # Per-sequence-length tuned (block_q, block_kv), measured by
 # tools/tune_flash.py with the bracketed fori-loop protocol on TPU v5e
@@ -76,11 +77,32 @@ def use_flash(setting, seq_len: int, attention_dropout: float,
 # swept separately and picks the same winner (0.48x/0.33x of default at
 # 1024/2048) — the bigger-block win beats the finer-grained masked-block
 # skipping smaller blocks would allow, so one table serves both kernels.
-# Sequences not listed fall back to the kernel's own defaults.
+# Sequences not listed get ``auto_blocks`` (the same bigger-is-better rule
+# generalised), never the kernel's measured-2x-slower 128-wide defaults.
 TUNED_BLOCKS = {
     1024: (1024, 1024),
     2048: (1024, 1024),
 }
+
+# Bigger blocks won monotonically in the sweep, but 1024 beat 2048-wide
+# full-seq blocks at seq=2048 (artifacts/tune_flash_r05.jsonl) — cap there.
+_MAX_AUTO_BLOCK = 1024
+
+
+def auto_blocks(seq_len: int) -> Optional[Tuple[int, int]]:
+    """Generalise the tuned table to any sequence length: the largest
+    lane-aligned (multiple-of-128) block <= 1024 that divides ``seq_len``
+    (the kernel requires seq % block == 0).  Returns None when no such
+    block exists (seq not a multiple of 128) — callers must then use the
+    standard attention path, NOT the kernel defaults: the untuned
+    128-wide defaults measured ~2x SLOWER than standard attention at
+    seq=1024 (artifacts/flash_crossover_r05.txt), the exact regression
+    ``flash_attention='auto'`` exists to avoid."""
+    start = (min(_MAX_AUTO_BLOCK, seq_len) // 128) * 128
+    for b in range(start, 0, -128):
+        if seq_len % b == 0:
+            return (b, b)
+    return None
 
 
 def resolve_block_sizes(seq_len: int,
@@ -88,14 +110,15 @@ def resolve_block_sizes(seq_len: int,
     """Return a ``fa.BlockSizes`` for ``seq_len``, or None for defaults.
 
     ``blocks``: explicit ``(block_q, block_kv)`` override from model config;
-    otherwise the tuned table is consulted.  Both values are clamped to the
-    sequence length; the kv block also feeds the major (outer) kv loop so a
-    full-width kv block turns the inner loop into one pass.
+    otherwise the tuned table is consulted, then ``auto_blocks`` for
+    untabulated lengths.  Both values are clamped to the sequence length;
+    the kv block also feeds the major (outer) kv loop so a full-width kv
+    block turns the inner loop into one pass.
     """
     from jax.experimental.pallas.ops.tpu import flash_attention as fa
 
     if blocks is None:
-        blocks = TUNED_BLOCKS.get(seq_len)
+        blocks = TUNED_BLOCKS.get(seq_len) or auto_blocks(seq_len)
     if blocks is None:
         return None
     bq, bkv = (min(int(blocks[0]), seq_len), min(int(blocks[1]), seq_len))

@@ -264,10 +264,12 @@ def real_pair_arrays(documents=None, seq_len: int = 128,
                 d2 = rng.randint(0, len(doc_parts) - 1)
                 if d2 >= d:
                     d2 += 1
+                # Both side ranges are non-empty for every retained
+                # document (_cut clamps to 1 <= cut <= n-1 and doc_parts
+                # keeps only >= 2 segments), so positives and negatives
+                # stay exactly balanced.
                 o_lo, o_hi = ((0, cuts[d2]) if side == "train"
                               else (cuts[d2], len(doc_parts[d2])))
-                if o_hi <= o_lo:
-                    continue
                 other = doc_parts[d2][rng.randint(o_lo, o_hi)]
                 ids_m, mask_m = encode(parts[i], other)
                 ids.append(ids_m)
@@ -352,13 +354,32 @@ def save_token_archive(path, splits: Dict[str, Dict[str, np.ndarray]]
 
     payload = {}
     for split, fields in splits.items():
+        # "." is the key separator ({split}.{field}.{suffix}) — a dotted
+        # split name would silently re-group on load as a different split.
+        if "." in split:
+            raise ValueError(f"split name {split!r} must not contain '.'")
         for field, arr in fields.items():
+            if "." in field:
+                raise ValueError(
+                    f"field name {field!r} (split {split!r}) must not "
+                    f"contain '.'")
             arr = np.asarray(arr)
             if not np.issubdtype(arr.dtype, np.integer):
                 raise TypeError(f"{split}.{field} is not integer-typed")
             offset = int(arr.min()) if arr.size else 0
             offset = min(offset, 0)
-            shifted = (arr.astype(np.int64) - offset).astype(np.uint32)
+            shifted64 = arr.astype(np.int64) - offset
+            # Loads come back as int32; anything past 2^31-1 after the
+            # min-offset shift would wrap silently (and past 2^32 would
+            # already wrap in the uint32 cast below) — refuse instead.
+            span = int(shifted64.max()) if arr.size else 0
+            if span >= 2 ** 31:
+                raise ValueError(
+                    f"{split}.{field}: value range [{offset}, "
+                    f"{offset + span}] spans {span + 1} after the min "
+                    f"offset shift, which does not fit the int32 the "
+                    f"archive reloads as")
+            shifted = shifted64.astype(np.uint32)
             width = max(int(shifted.max()).bit_length(), 1) if arr.size else 1
             key = f"{split}.{field}"
             payload[f"{key}.stream"] = native.stream_pack(

@@ -189,6 +189,31 @@ def test_token_archive_roundtrip_through_train_step(tmp_path):
         load_token_archive(tmp_path / "lm.npz")["train"]["labels"],
         lm["labels"])
 
+    # A lossless-claimed codec must refuse rather than silently wrap:
+    # values outside the int32 range the archive reloads as...
+    import pytest
+
+    with pytest.raises(ValueError, match="int32"):
+        save_token_archive(tmp_path / "bad.npz",
+                           {"train": {"h": np.asarray([2 ** 31], np.int64)}})
+    with pytest.raises(ValueError, match="int32"):
+        save_token_archive(
+            tmp_path / "bad.npz",
+            {"train": {"h": np.asarray([-1, 2 ** 31 - 1], np.int64)}})
+    # ...and names that would collide with the "." key separator.
+    with pytest.raises(ValueError, match="split name"):
+        save_token_archive(tmp_path / "bad.npz",
+                           {"val.small": {"h": np.asarray([1], np.int32)}})
+    with pytest.raises(ValueError, match="field name"):
+        save_token_archive(tmp_path / "bad.npz",
+                           {"train": {"h.x": np.asarray([1], np.int32)}})
+    # The full int32 range itself is fine.
+    edge = {"h": np.asarray([-(2 ** 31) + 1, 0], np.int64)}
+    save_token_archive(tmp_path / "edge.npz", {"train": edge})
+    np.testing.assert_array_equal(
+        load_token_archive(tmp_path / "edge.npz")["train"]["h"],
+        edge["h"])
+
     # Identical first train step from packed vs unpacked source.
     from fewbit_tpu.models import (RobertaConfig,
                                    RobertaForSequenceClassification)

@@ -202,15 +202,28 @@ def test_flash_attention_requires_zero_attention_dropout():
 
 
 def test_flash_block_size_resolution():
-    """resolve_block_sizes: tuned table at long seq, None (kernel defaults)
-    elsewhere, explicit override wins, clamped to the sequence length."""
-    from fewbit_tpu.models.flash import TUNED_BLOCKS, resolve_block_sizes
+    """resolve_block_sizes: tuned table at measured lengths, the
+    generalised auto_blocks rule elsewhere (never the measured-2x-slower
+    kernel defaults), explicit override wins, clamped to the sequence
+    length."""
+    from fewbit_tpu.models.flash import (TUNED_BLOCKS, auto_blocks,
+                                         resolve_block_sizes)
 
-    assert resolve_block_sizes(128) is None  # headline seq: defaults
     bs = resolve_block_sizes(1024)
     assert bs is not None
     assert (bs.block_q, bs.block_k) == TUNED_BLOCKS[1024]
     assert bs.block_k_major == bs.block_k
+    # untabulated lengths use auto_blocks: largest multiple-of-128 block
+    # <= 1024 that divides seq, so flash never silently falls back to the
+    # untuned 128-wide defaults at a length the table does not list.
+    assert auto_blocks(1536) == (768, 768)
+    bs3 = resolve_block_sizes(1536)
+    assert (bs3.block_q, bs3.block_k) == (768, 768)
+    assert auto_blocks(4096) == (1024, 1024)
+    assert auto_blocks(128) == (128, 128)
+    # no lane-aligned divisor -> None (callers keep the standard path)
+    assert auto_blocks(1100) is None
+    assert auto_blocks(192) is None
     # explicit override beats the table and clamps to seq
     bs2 = resolve_block_sizes(256, (512, 4096))
     assert bs2.block_q == 256 and bs2.block_k == 256
@@ -230,6 +243,9 @@ def test_flash_auto_resolution():
     assert not use_flash("auto", FLASH_AUTO_MIN_SEQ - 1, 0.0, backend="tpu")
     assert not use_flash("auto", FLASH_AUTO_MIN_SEQ, 0.1, backend="tpu")
     assert not use_flash("auto", FLASH_AUTO_MIN_SEQ, 0.0, backend="cpu")
+    # long but not lane-aligned: no valid block partition exists, so auto
+    # keeps the standard path rather than crash (or crawl) in the kernel
+    assert not use_flash("auto", 1100, 0.0, backend="tpu")
     # deterministic (eval) traces apply no dropout, so auto engages even
     # with a training dropout configured.
     assert use_flash("auto", FLASH_AUTO_MIN_SEQ, 0.1, backend="tpu",

@@ -14,7 +14,6 @@ Usage: python tools/exp_megakernel.py [--iters 50]
 import argparse
 import functools
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
@@ -37,27 +36,9 @@ def log(*a):
 
 
 def timed(fn, x, iters=50, rounds=3):
-    @jax.jit
-    def run(c, n):
-        def body(i, c):
-            y = fn(c)
-            patch = (y[:1, :1] * 1e-6).astype(c.dtype)
-            return lax.dynamic_update_slice(c, patch, (0, 0))
-        return lax.fori_loop(0, n, body, c)
+    from tools.timing import timed_loop, touch
 
-    def sync(c):
-        return float(jnp.asarray(c[0, 0]))
-
-    n = jnp.int32(iters)
-    out = run(x, n)
-    sync(out)
-    best = float("inf")
-    for _ in range(rounds):
-        t0 = time.perf_counter()
-        out = run(out, n)
-        sync(out)
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+    return timed_loop(lambda i, c: touch(c, fn(c)), x, iters, rounds)
 
 
 def variant_kernel(spec, bn, bm, bk, n_k, epilogue, borders_ref, x_ref,

@@ -7,7 +7,8 @@ the matmul kernels — achieved FLOP/s against MXU peak.  Also computes the
 headline training-step MFU from the compiled step's own FLOP count
 (``compiled.cost_analysis()``).
 
-Timing protocol: every measurement wraps ITERS kernel invocations in ONE
+Timing protocol (tools/timing.py): every measurement wraps 50 kernel
+invocations in ONE
 jitted ``lax.fori_loop`` so a single dispatch (one relay round-trip) covers
 the whole batch of iterations — per-dispatch latency and the environment's
 sporadic relay stalls are amortised away.  Loop-carried dependencies (chain
@@ -26,7 +27,6 @@ each kernel's operands/results at their stored dtypes.
 import argparse
 import json
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
@@ -37,9 +37,6 @@ from jax import lax
 
 HBM_PEAK = 819e9          # TPU v5e: 819 GB/s per chip
 MXU_PEAK = 197e12         # TPU v5e: 197 TFLOP/s bf16
-
-ITERS = 50
-ROUNDS = 3
 
 # Shapes: elementwise at the reference op-benchmark size (128*1024^2
 # elements, memory-usage-operation-only.py); matmul at the headline FFN
@@ -53,46 +50,9 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def timed_loop(body, carry, iters=ITERS, rounds=ROUNDS):
-    """Best per-iteration time of ``iters`` fori_loop steps, one dispatch.
-
-    Two protocol hazards on this environment, both worked around here:
-
-    * the trip count is passed as a TRACED scalar — with a static bound XLA
-      unrolls the loop and fuses elementwise bodies across iterations (20
-      chained gelus collapse into one read-once kernel), faking a 20x
-      bandwidth win;
-    * ``block_until_ready`` is a no-op on the axon relay (measured: a
-      537 MB x 200-iteration gelu loop "completes" in 0.06 ms) — only a
-      literal data READBACK synchronises, so each round ends with a scalar
-      fetch.  The readback's relay round-trip (~1-5 ms) is amortised over
-      ``iters`` iterations.
-    """
-
-    @jax.jit
-    def run(c, n):
-        return lax.fori_loop(0, n, body, c)
-
-    def sync(c):
-        return float(jnp.asarray(c[(0,) * c.ndim]))
-
-    n = jnp.int32(iters)
-    out = run(carry, n)
-    sync(out)  # compile + warm
-    best = float("inf")
-    for _ in range(rounds):
-        t0 = time.perf_counter()
-        out = run(out, n)
-        sync(out)
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
-
-
-def touch(carry, val):
-    """One-element update of the carry from ``val`` — a data dependence that
-    blocks loop-invariant code motion at no measurable traffic."""
-    patch = (val[:1, :1] * 1e-6).astype(carry.dtype)
-    return lax.dynamic_update_slice(carry, patch, (0, 0))
+# Shared traced-trip-count + readback-sync protocol (see tools/timing.py
+# for the two environment hazards it works around).
+from tools.timing import timed_loop, touch  # noqa: E402
 
 
 def measure_elementwise(spec, borders, levels, bits):
@@ -181,8 +141,9 @@ def measure_matmul(spec, borders, levels, bits):
         return touch(c, dz)
 
     t_mlb, r_mlb = bracketed(mlb_body, g)
+    # dz sketch stores at sketch_dtype(g.dtype) = bf16 here (2 B/elem).
     by_mlb = (2 * N * K + 2 * K * M + bits / 8 * N * M + 2 * N * M
-              + 4 * k_eff * M)
+              + 2 * k_eff * M)
 
     return [
         (f"fused_dense_act (megakernel, {bits}-bit)", t_da, by_da, flops,

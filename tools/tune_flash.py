@@ -15,7 +15,6 @@ line per (seq, combo).  Winners land in
 import argparse
 import json
 import sys
-import time
 from pathlib import Path
 
 import jax
@@ -40,20 +39,8 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def timed_loop(body, carry, iters, rounds=3):
-    @jax.jit
-    def run(c, n):
-        return lax.fori_loop(0, n, body, c)
-
-    out = run(carry, jnp.int32(iters))
-    _ = float(jnp.asarray(out[(0,) * out.ndim]))  # compile + sync
-    best = float("inf")
-    for _ in range(rounds):
-        t0 = time.perf_counter()
-        out = run(out, jnp.int32(iters))
-        _ = float(jnp.asarray(out[(0,) * out.ndim]))
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+# Shared traced-trip-count + readback-sync protocol (tools/timing.py).
+from tools.timing import timed_loop  # noqa: E402
 
 
 def attention_body(blocks, seq, batch, causal=False):
