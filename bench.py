@@ -93,7 +93,10 @@ def probe_clock_state():
     def body(i, c):
         return touch(c, c @ w)
 
-    t = _with_deadline(120, lambda: timed_loop(body, x))
+    # 240s: the probe is the process's FIRST dispatch — cold relay
+    # handshake + compile alone can eat >120s (observed), and a None here
+    # loses the clock-state record for the whole artifact.
+    t = _with_deadline(240, lambda: timed_loop(body, x))
     if t is None:
         return None
     ms = t * 1e3
